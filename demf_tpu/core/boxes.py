@@ -1,0 +1,201 @@
+"""3D box geometry for Depth-coordinate boxes, pure-functional JAX.
+
+Boxes are plain ``(..., 7)`` arrays ``[x, y, z, dx, dy, dz, yaw]`` with the
+*bottom-center* origin convention of mmdet3d-0.18 ``DepthInstance3DBoxes``
+(the box type the reference configures via ``box_type_3d='Depth'``,
+/root/reference/configs/_base_/datasets/sunrgbd-3d-10class.py:83).  All the
+rotation conventions replicate mmdet3d 0.18 ``rotation_3d_in_axis`` exactly
+(invoked by the reference at class_agnostic_vote_head.py:275,909 and
+class_agnostic_bbox_coder.py:76) so coder round-trips and target assignment
+match the reference bit-for-bit in fp32.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rotation_3d_in_axis(points, angles, axis=2):
+    """Rotate points by per-box angles (mmdet3d 0.18 convention).
+
+    For ``axis=2``: ``x' = x*cos + y*sin``, ``y' = -x*sin + y*cos`` — i.e.
+    the coordinates rotate by ``-angle`` (equivalently the frame rotates by
+    ``+angle``).
+
+    Args:
+        points: (N, M, 3) points.
+        angles: (N,) angles in radians.
+        axis: rotation axis (0, 1 or 2).
+    Returns:
+        (N, M, 3) rotated points.
+    """
+    rot_sin = jnp.sin(angles)
+    rot_cos = jnp.cos(angles)
+    ones = jnp.ones_like(rot_cos)
+    zeros = jnp.zeros_like(rot_cos)
+    if axis == 1:
+        rot = jnp.stack([
+            jnp.stack([rot_cos, zeros, -rot_sin], -1),
+            jnp.stack([zeros, ones, zeros], -1),
+            jnp.stack([rot_sin, zeros, rot_cos], -1),
+        ], -2)
+    elif axis in (2, -1):
+        rot = jnp.stack([
+            jnp.stack([rot_cos, -rot_sin, zeros], -1),
+            jnp.stack([rot_sin, rot_cos, zeros], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ], -2)
+    elif axis == 0:
+        rot = jnp.stack([
+            jnp.stack([ones, zeros, zeros], -1),
+            jnp.stack([zeros, rot_cos, -rot_sin], -1),
+            jnp.stack([zeros, rot_sin, rot_cos], -1),
+        ], -2)
+    else:
+        raise ValueError(f'axis should be in range [0, 2], got {axis}')
+    # torch: einsum('aij,jka->aik', points, rot_mat_T) == points @ rot (per a)
+    return jnp.einsum('aij,ajk->aik', points, rot)
+
+
+def rotate_points_z(points, angle):
+    """Counter-clockwise rotation of points by ``angle`` around +z.
+
+    This matches mmdet3d ``DepthInstance3DBoxes.rotate``: ``p' = p @ M`` with
+    ``M = [[c, s], [-s, c]]`` transposed-from [[c,-s],[s,c]] — i.e. the
+    standard CCW rotation ``(x c - y s, x s + y c)``.
+    """
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    x, y = points[..., 0], points[..., 1]
+    return jnp.stack([x * c - y * s, x * s + y * c, points[..., 2]], -1)
+
+
+def limit_period(val, offset=0.5, period=np.pi):
+    """Limit value into a period: mmdet3d ``limit_period``."""
+    return val - jnp.floor(val / period + offset) * period
+
+
+def gravity_center(boxes):
+    """Bottom-center box -> gravity center (N, 3)."""
+    return jnp.concatenate(
+        [boxes[..., :2], boxes[..., 2:3] + boxes[..., 5:6] * 0.5], -1)
+
+
+def box_corners(boxes):
+    """8 corners of depth boxes, mmdet3d 0.18 corner order.
+
+    Args:
+        boxes: (N, 7) bottom-center boxes.
+    Returns:
+        (N, 8, 3) corners, order: (x0y0z0, x0y0z1, x0y1z1, x0y1z0, x1y0z0,
+        x1y0z1, x1y1z1, x1y1z0) before rotation, relative to origin
+        (0.5, 0.5, 0) like DepthInstance3DBoxes.corners.
+    """
+    dims = boxes[..., 3:6]
+    corners_norm = jnp.asarray(np.stack(np.unravel_index(
+        np.arange(8), [2] * 3), axis=1)[[0, 1, 3, 2, 4, 5, 7, 6]],
+        dtype=boxes.dtype)
+    corners_norm = corners_norm - jnp.asarray([0.5, 0.5, 0], dtype=boxes.dtype)
+    corners = dims[..., None, :] * corners_norm  # (N, 8, 3)
+    # DepthInstance3DBoxes.corners rotates by +yaw via rotation_3d_in_axis
+    corners = rotation_3d_in_axis(corners, boxes[..., 6], axis=2)
+    return corners + boxes[..., None, :3]
+
+
+def points_in_boxes(points, boxes, eps=1e-6):
+    """Per-point rotated-box membership test.
+
+    TPU-native replacement for the mmdet3d CUDA op ``points_in_boxes_batch``
+    used by the reference for vote-target generation
+    (class_agnostic_vote_head.py:200,834): an (N_pts, N_box) dense test in
+    one fused XLA computation instead of a scatter kernel.
+
+    Args:
+        points: (N_pts, 3).
+        boxes: (N_box, 7) bottom-center depth boxes.
+    Returns:
+        (N_pts, N_box) bool membership matrix.
+    """
+    centers = gravity_center(boxes)  # (N_box, 3)
+    shift = points[:, None, :] - centers[None, :, :]  # (P, B, 3)
+    yaw = boxes[:, 6]
+    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+    # local = rotate shift into box frame (CUDA kernel rotates by -yaw:
+    # local_x = x*cos(-rz) - y*sin(-rz); local_y = x*sin(-rz) + y*cos(-rz))
+    lx = shift[..., 0] * c[None] - shift[..., 1] * s[None]
+    ly = shift[..., 0] * s[None] + shift[..., 1] * c[None]
+    lz = shift[..., 2]
+    half = boxes[:, 3:6] * 0.5
+    in_x = jnp.abs(lx) <= half[None, :, 0] + eps
+    in_y = jnp.abs(ly) <= half[None, :, 1] + eps
+    in_z = jnp.abs(lz) <= half[None, :, 2] + eps
+    return in_x & in_y & in_z
+
+
+def corners_minmax(boxes):
+    """Axis-aligned (N, 6) [min_xyz, max_xyz] envelope of rotated boxes."""
+    c = box_corners(boxes)
+    return jnp.concatenate([c.min(axis=-2), c.max(axis=-2)], -1)
+
+
+def aligned_box_iou_3d(boxes1, boxes2):
+    """IoU between axis-aligned 3D boxes in (x1,y1,z1,x2,y2,z2) form.
+
+    Args:
+        boxes1: (N, 6), boxes2: (M, 6).
+    Returns:
+        (N, M) IoU matrix.
+    """
+    lt = jnp.maximum(boxes1[:, None, :3], boxes2[None, :, :3])
+    rb = jnp.minimum(boxes1[:, None, 3:], boxes2[None, :, 3:])
+    whd = jnp.clip(rb - lt, 0, None)
+    inter = whd.prod(-1)
+    vol1 = jnp.clip(boxes1[:, 3:] - boxes1[:, :3], 0, None).prod(-1)
+    vol2 = jnp.clip(boxes2[:, 3:] - boxes2[:, :3], 0, None).prod(-1)
+    return inter / jnp.clip(vol1[:, None] + vol2[None, :] - inter, 1e-8, None)
+
+
+def angle2class(angle, num_dir_bins):
+    """Convert continuous angle to (class, residual).
+
+    Replicates mmdet3d ``PartialBinBasedBBoxCoder.angle2class`` (parent of the
+    reference coders, class_agnostic_bbox_coder.py:11).
+    """
+    angle = angle % (2 * np.pi)
+    angle_per_class = 2 * np.pi / float(num_dir_bins)
+    shifted_angle = (angle + angle_per_class / 2) % (2 * np.pi)
+    angle_cls = (shifted_angle // angle_per_class).astype(jnp.int32)
+    angle_res = shifted_angle - (
+        angle_cls.astype(angle.dtype) * angle_per_class + angle_per_class / 2)
+    return angle_cls, angle_res
+
+
+def class2angle(angle_cls, angle_res, num_dir_bins, limit_period_flag=True):
+    """Inverse of :func:`angle2class`."""
+    angle_per_class = 2 * np.pi / float(num_dir_bins)
+    angle_center = angle_cls.astype(angle_res.dtype) * angle_per_class
+    angle = angle_center + angle_res
+    if limit_period_flag:
+        angle = jnp.where(angle > np.pi, angle - 2 * np.pi, angle)
+    return angle
+
+
+def points_cam2img(points_3d, proj_mat, with_depth=False):
+    """Project 3D camera-frame points into the image plane.
+
+    Replicates mmdet3d ``points_cam2img`` (used for the DeMF 3D->2D reference
+    point bridge, class_agnostic_vote_head.py:535).
+
+    Args:
+        points_3d: (..., 3).
+        proj_mat: (4, 4) projection matrix.
+    Returns:
+        (..., 2) pixel coords (plus depth if requested).
+    """
+    ones = jnp.ones_like(points_3d[..., :1])
+    hom = jnp.concatenate([points_3d, ones], -1)
+    p2d = hom @ proj_mat.T
+    uv = p2d[..., :2] / jnp.clip(p2d[..., 2:3], 1e-6, None)
+    if with_depth:
+        return jnp.concatenate([uv, p2d[..., 2:3]], -1)
+    return uv

@@ -1,0 +1,13 @@
+"""Test env: CPU platform with 8 virtual devices for mesh/sharding tests.
+
+This is the JAX-native way to exercise multi-device code without a cluster
+(SURVEY.md §4): XLA_FLAGS must be set before jax initializes.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')

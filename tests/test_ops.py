@@ -1,0 +1,166 @@
+"""Unit tests for geometry ops against pure-numpy oracles (SURVEY.md §4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from demf_tpu import ops
+from demf_tpu.core import boxes as box_ops
+
+
+def _np_fps(xyz, k):
+    n = xyz.shape[0]
+    idxs = np.zeros(k, np.int32)
+    dists = np.full(n, 1e10)
+    last = 0
+    for i in range(1, k):
+        d = np.sum((xyz - xyz[last]) ** 2, -1)
+        dists = np.minimum(dists, d)
+        last = int(np.argmax(dists))
+        idxs[i] = last
+    return idxs
+
+
+def test_fps_matches_oracle():
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(2, 100, 3).astype(np.float32)
+    out = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 16))
+    for b in range(2):
+        np.testing.assert_array_equal(out[b], _np_fps(xyz[b], 16))
+
+
+def _np_ball_query(radius, nsample, points, centers):
+    m = centers.shape[0]
+    out = np.zeros((m, nsample), np.int32)
+    for i in range(m):
+        d2 = np.sum((points - centers[i]) ** 2, -1)
+        hits = np.where(d2 < radius * radius)[0]
+        if len(hits) == 0:
+            continue
+        cnt = min(len(hits), nsample)
+        out[i, :] = hits[0]
+        out[i, :cnt] = hits[:cnt]
+    return out
+
+
+@pytest.mark.parametrize('chunk', [4096, 33])  # exercise the streaming path
+def test_ball_query_matches_cuda_semantics(chunk):
+    rng = np.random.RandomState(1)
+    points = rng.rand(2, 200, 3).astype(np.float32)
+    centers = points[:, :32]
+    out = np.asarray(ops.ball_query(0.2, 8, jnp.asarray(points),
+                                    jnp.asarray(centers), chunk=chunk))
+    for b in range(2):
+        ref = _np_ball_query(0.2, 8, points[b], centers[b])
+        # the MXU-friendly |a|^2+|b|^2-2ab distance has ~1e-7 noise, which
+        # can flip strict-inequality membership exactly at the radius
+        # boundary; skip centers with any boundary-ambiguous point.
+        d2 = np.sum((points[b][None] - centers[b][:, None]) ** 2, -1)
+        unambiguous = np.all(np.abs(d2 - 0.04) > 1e-5, axis=1)
+        assert unambiguous.sum() > 20  # the test still covers most centers
+        np.testing.assert_array_equal(out[b][unambiguous], ref[unambiguous])
+
+
+def test_gather_and_group_points():
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 5, 10).astype(np.float32)
+    idx = rng.randint(0, 10, (2, 4)).astype(np.int32)
+    out = np.asarray(ops.gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_allclose(out[b], feats[b][:, idx[b]])
+
+    gidx = rng.randint(0, 10, (2, 4, 3)).astype(np.int32)
+    gout = np.asarray(ops.group_points(jnp.asarray(feats), jnp.asarray(gidx)))
+    for b in range(2):
+        for m_ in range(4):
+            np.testing.assert_allclose(gout[b, :, m_], feats[b][:, gidx[b, m_]])
+
+
+def test_three_nn_interpolate():
+    rng = np.random.RandomState(3)
+    unknown = rng.randn(1, 20, 3).astype(np.float32)
+    known = rng.randn(1, 7, 3).astype(np.float32)
+    feats = rng.randn(1, 4, 7).astype(np.float32)
+    out = np.asarray(ops.three_nn_interpolate(
+        jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(feats)))
+    # numpy oracle
+    d2 = np.sum((unknown[0][:, None] - known[0][None]) ** 2, -1)
+    nn = np.argsort(d2, -1)[:, :3]
+    dd = np.take_along_axis(d2, nn, -1)
+    w = 1.0 / (dd + 1e-8)
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum('nk,cnk->cn', w, feats[0][:, nn])
+    np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_aligned_3d_nms():
+    # three boxes: 0 and 1 overlap heavily (same class), 2 is separate
+    boxes = jnp.asarray([
+        [0, 0, 0, 1, 1, 1],
+        [0.05, 0.05, 0.0, 1.05, 1.05, 1.0],
+        [5, 5, 5, 6, 6, 6],
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.asarray([0, 0, 0])
+    keep = np.asarray(ops.aligned_3d_nms(boxes, scores, classes, 0.25))
+    np.testing.assert_array_equal(keep, [True, False, True])
+    # different class -> no suppression
+    keep2 = np.asarray(ops.aligned_3d_nms(
+        boxes, scores, jnp.asarray([0, 1, 0]), 0.25))
+    np.testing.assert_array_equal(keep2, [True, True, True])
+
+
+def test_points_in_boxes_rotation():
+    # unit box rotated 45deg about z, centered at origin bottom z=0
+    box = jnp.asarray([[0., 0., 0., 2., 1., 1., np.pi / 4]])
+    pts = jnp.asarray([
+        [0., 0., 0.5],       # center -> inside
+        [0.9, 0.9, 0.5],     # along the rotated long axis -> inside
+        [0.9, -0.9, 0.5],    # perpendicular -> outside
+        [0., 0., 1.5],       # above -> outside
+    ])
+    res = np.asarray(box_ops.points_in_boxes(pts, box))[:, 0]
+    np.testing.assert_array_equal(res, [True, True, False, False])
+
+
+def _np_msda(value, shapes, locs, weights):
+    """numpy oracle replicating multi_scale_deformable_attn_pytorch."""
+    b, _, heads, hd = value.shape
+    q, p = locs.shape[1], locs.shape[4]
+    out = np.zeros((b, q, heads, hd))
+    start = 0
+    for lvl, (h, w) in enumerate(shapes):
+        v = value[:, start:start + h * w].reshape(b, h, w, heads, hd)
+        for bi in range(b):
+            for qi in range(q):
+                for hi in range(heads):
+                    for pi in range(p):
+                        x = locs[bi, qi, hi, lvl, pi, 0] * w - 0.5
+                        y = locs[bi, qi, hi, lvl, pi, 1] * h - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        acc = np.zeros(hd)
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                xi, yi = x0 + dx, y0 + dy
+                                wgt = ((1 - abs(x - xi)) * (1 - abs(y - yi)))
+                                if 0 <= xi < w and 0 <= yi < h:
+                                    acc += wgt * v[bi, yi, xi, hi]
+                        out[bi, qi, hi] += acc * weights[bi, qi, hi, lvl, pi]
+        start += h * w
+    return out.reshape(b, q, heads * hd)
+
+
+def test_msda_matches_oracle():
+    rng = np.random.RandomState(4)
+    shapes = ((4, 6), (2, 3))
+    total = sum(h * w for h, w in shapes)
+    b, q, heads, hd, p = 2, 5, 2, 4, 3
+    value = rng.randn(b, total, heads, hd).astype(np.float32)
+    locs = rng.rand(b, q, heads, len(shapes), p, 2).astype(np.float32)
+    # push some locations out of bounds to test zero padding
+    locs[0, 0] = 1.2
+    w_ = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
+    w_ /= w_.sum((-1, -2), keepdims=True)
+    out = np.asarray(ops.multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_)))
+    ref = _np_msda(value, shapes, locs, w_)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
