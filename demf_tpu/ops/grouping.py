@@ -100,8 +100,11 @@ def _sqdist(a, b):
     """
     a2 = jnp.sum(a * a, -1)[..., :, None]
     b2 = jnp.sum(b * b, -1)[..., None, :]
+    # full fp32 contraction: the default matmul precision is bf16-grade,
+    # whose ~4e-3 error flips radius-membership comparisons
     ab = jnp.einsum('...mc,...nc->...mn', a, b,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 + b2 - 2 * ab, 0.0)
 
 

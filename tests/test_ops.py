@@ -110,13 +110,15 @@ def test_aligned_3d_nms():
 
 
 def test_points_in_boxes_rotation():
-    # unit box rotated 45deg about z, centered at origin bottom z=0
+    # 2x1x1 box rotated 45deg about z, bottom z=0.  Under the mmdet3d-0.18
+    # CUDA convention (local = R(yaw)^T shift) the long axis points along
+    # (cos -yaw, sin -yaw) = (0.707, -0.707).
     box = jnp.asarray([[0., 0., 0., 2., 1., 1., np.pi / 4]])
     pts = jnp.asarray([
-        [0., 0., 0.5],       # center -> inside
-        [0.9, 0.9, 0.5],     # along the rotated long axis -> inside
-        [0.9, -0.9, 0.5],    # perpendicular -> outside
-        [0., 0., 1.5],       # above -> outside
+        [0., 0., 0.5],        # center -> inside
+        [0.65, -0.65, 0.5],   # along the long axis (radius 0.92 < 1)
+        [0.65, 0.65, 0.5],    # perpendicular (|ly| = 0.92 > 0.5) -> outside
+        [0., 0., 1.5],        # above -> outside
     ])
     res = np.asarray(box_ops.points_in_boxes(pts, box))[:, 0]
     np.testing.assert_array_equal(res, [True, True, False, False])
