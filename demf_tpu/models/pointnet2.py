@@ -1,0 +1,214 @@
+"""PointNet++ building blocks and the PointNet2SASSG backbone.
+
+TPU-native re-design of the mmdet3d components the reference pulls in
+(PointNet2SASSG configured at configs/demf/demf_votenet.py:48-62; SA modules
+built via build_sa_module at class_agnostic_vote_head.py:13,383).
+
+Design: channel-LAST layouts everywhere ((B, N, C)); the 1x1 Conv+BN+ReLU
+stacks of the reference become Dense+BN+ReLU over the feature axis, which XLA
+fuses into single MXU matmuls per stage.  Grouping is ball-query + gather;
+pooling is a masked max over the neighbor axis.  All shapes are static.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.grouping import ball_query
+from ..ops.interpolate import three_nn_interpolate
+from ..ops.sampling import furthest_point_sample
+from ..utils.registry import BACKBONES, SA_MODULES
+
+
+def gather_points_last(arr, idx):
+    """Gather rows: arr (B, N, C), idx (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(
+        arr, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points_last(arr, idx):
+    """Gather neighborhoods: arr (B, N, C), idx (B, M, S) -> (B, M, S, C)."""
+    b, _, c = arr.shape
+    m, s = idx.shape[1:]
+    flat = jnp.take_along_axis(
+        arr, idx.reshape(b, m * s, 1).astype(jnp.int32), axis=1)
+    return flat.reshape(b, m, s, c)
+
+
+class SharedMLP(nn.Module):
+    """Stack of Dense+BN+ReLU over the last axis (torch Conv1x1+BN+ReLU)."""
+    channels: Sequence[int]
+    use_norm: bool = True
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for c in self.channels:
+            x = nn.Dense(c, use_bias=self.bias or not self.use_norm)(x)
+            if self.use_norm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)(x)
+            x = nn.relu(x)
+        return x
+
+
+@SA_MODULES.register_module()
+class PointSAModule(nn.Module):
+    """Single-scale grouping set-abstraction module.
+
+    Mirrors mmdet3d ``PointSAModule`` semantics: FPS (or given indices /
+    target centers) -> ball query -> recenter (+radius-normalize) ->
+    shared MLP -> max-pool over neighbors.
+    """
+    mlp_channels: Sequence[int]
+    num_point: Optional[int] = None
+    radius: Optional[float] = None
+    num_sample: Optional[int] = None
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    pool_mod: str = 'max'
+    # input feature channels implied by mlp_channels[0] (mmdet3d convention:
+    # mlp_channels[0] already includes +3 when use_xyz at build time);
+    # here mlp_channels[0] is the *raw* feature dim, we add +3 internally.
+
+    @nn.compact
+    def __call__(self, points_xyz, features=None, indices=None,
+                 target_xyz=None, train: bool = False):
+        """
+        Args:
+            points_xyz: (B, N, 3).
+            features: (B, N, C) or None.
+            indices: optional (B, M) precomputed sample indices.
+            target_xyz: optional (B, M, 3) explicit aggregation centers.
+        Returns:
+            (new_xyz (B, M, 3), pooled (B, M, C_out), indices (B, M)).
+        """
+        if indices is not None:
+            new_xyz = gather_points_last(points_xyz, indices)
+        elif target_xyz is not None:
+            new_xyz = target_xyz
+            indices = None
+        else:
+            indices = furthest_point_sample(points_xyz, self.num_point)
+            new_xyz = gather_points_last(points_xyz, indices)
+
+        idx = ball_query(self.radius, self.num_sample, points_xyz, new_xyz)
+        grouped_xyz = group_points_last(points_xyz, idx) - new_xyz[:, :, None]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+        if features is not None:
+            grouped = group_points_last(features, idx)
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped_xyz, grouped], -1)
+        else:
+            grouped = grouped_xyz
+
+        mlp_out_channels = list(self.mlp_channels[1:])
+        out = SharedMLP(mlp_out_channels, name='mlps')(grouped, train)
+        if self.pool_mod == 'max':
+            pooled = jnp.max(out, axis=2)
+        elif self.pool_mod == 'avg':
+            pooled = jnp.mean(out, axis=2)
+        else:
+            raise ValueError(self.pool_mod)
+        return new_xyz, pooled, indices
+
+
+class PointFPModule(nn.Module):
+    """Feature propagation: 3-NN interpolate + skip concat + shared MLP."""
+    mlp_channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, target_xyz, source_xyz, target_feats, source_feats,
+                 train: bool = False):
+        interpolated = three_nn_interpolate(
+            target_xyz, source_xyz, jnp.swapaxes(source_feats, 1, 2))
+        interpolated = jnp.swapaxes(interpolated, 1, 2)  # (B, N, C)
+        if target_feats is not None:
+            new = jnp.concatenate([interpolated, target_feats], -1)
+        else:
+            new = interpolated
+        return SharedMLP(list(self.mlp_channels), name='mlps')(new, train)
+
+
+@BACKBONES.register_module()
+class PointNet2SASSG(nn.Module):
+    """PointNet++ single-scale-grouping backbone (4 SA + 2 FP for DeMF).
+
+    Returns the dict contract the detectors consume: ``fp_xyz`` /
+    ``fp_features`` / ``fp_indices`` lists (reference extract_pts_feat,
+    demfnet.py:151-152 via mmdet3d ImVoteNet).
+    """
+    in_channels: int = 4
+    num_points: Tuple[int, ...] = (2048, 1024, 512, 256)
+    radius: Tuple[float, ...] = (0.2, 0.4, 0.8, 1.2)
+    num_samples: Tuple[int, ...] = (64, 32, 16, 16)
+    sa_channels: Tuple[Tuple[int, ...], ...] = ((64, 64, 128),
+                                                (128, 128, 256),
+                                                (128, 128, 256),
+                                                (128, 128, 256))
+    fp_channels: Tuple[Tuple[int, ...], ...] = ((256, 256), (256, 256))
+    norm_cfg: Any = None
+    sa_cfg: Any = None
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        """points: (B, N, in_channels) xyz + extra feature dims."""
+        xyz = points[..., :3]
+        features = points[..., 3:] if self.in_channels > 3 else None
+
+        use_xyz = True
+        normalize_xyz = False
+        pool_mod = 'max'
+        if self.sa_cfg:
+            use_xyz = self.sa_cfg.get('use_xyz', True)
+            normalize_xyz = self.sa_cfg.get('normalize_xyz', False)
+            pool_mod = self.sa_cfg.get('pool_mod', 'max')
+
+        num_sa = len(self.num_points)
+        b, n = points.shape[:2]
+        base_indices = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+
+        sa_xyz = [xyz]
+        sa_features = [features]
+        sa_indices = [base_indices]
+        cur_c = self.in_channels - 3
+        for i in range(num_sa):
+            mlp = [cur_c] + list(self.sa_channels[i])
+            new_xyz, new_feats, idx = PointSAModule(
+                mlp_channels=mlp,
+                num_point=self.num_points[i],
+                radius=self.radius[i],
+                num_sample=self.num_samples[i],
+                use_xyz=use_xyz,
+                normalize_xyz=normalize_xyz,
+                pool_mod=pool_mod,
+                name=f'SA_modules_{i}')(
+                    sa_xyz[-1], sa_features[-1], train=train)
+            sa_xyz.append(new_xyz)
+            sa_features.append(new_feats)
+            sa_indices.append(
+                jnp.take_along_axis(sa_indices[-1], idx.astype(jnp.int32),
+                                    axis=1))
+            cur_c = self.sa_channels[i][-1]
+
+        fp_xyz = [sa_xyz[-1]]
+        fp_features = [sa_features[-1]]
+        fp_indices = [sa_indices[-1]]
+        for i in range(len(self.fp_channels)):
+            tgt = num_sa - i - 1
+            new_feats = PointFPModule(
+                mlp_channels=list(self.fp_channels[i]),
+                name=f'FP_modules_{i}')(
+                    sa_xyz[tgt], fp_xyz[-1], sa_features[tgt],
+                    fp_features[-1], train=train)
+            fp_xyz.append(sa_xyz[tgt])
+            fp_features.append(new_feats)
+            fp_indices.append(sa_indices[tgt])
+
+        return dict(fp_xyz=fp_xyz, fp_features=fp_features,
+                    fp_indices=fp_indices, sa_xyz=sa_xyz,
+                    sa_features=sa_features, sa_indices=sa_indices)

@@ -52,7 +52,8 @@ def build_from_cfg(cfg, registry, default_args=None):
     """Instantiate ``registry[cfg['type']](**cfg_without_type)``."""
     if cfg is None:
         return None
-    if not isinstance(cfg, dict):
+    import collections.abc
+    if not isinstance(cfg, collections.abc.Mapping):
         raise TypeError(f'cfg must be a dict, got {type(cfg)}')
     if 'type' not in cfg:
         raise KeyError(f'cfg must contain the key "type": {cfg}')
