@@ -1,0 +1,229 @@
+"""SUN RGB-D dataset + synthetic stand-in, and fixed-shape batching.
+
+Replaces the reference's data layer (mmdet3d ``SUNRGBDDataset`` configured at
+configs/_base_/datasets/sunrgbd-3d-10class.py): pkl info files + per-scene
+point ``.bin`` + jpg, declarative pipeline, ``RepeatDataset``, and
+``evaluate()`` -> indoor mAP.  Batches are padded to static shapes
+(MAX_GT boxes + validity mask) so the whole train step stays jit-compiled.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..core.eval3d import indoor_eval
+from ..utils.registry import DATASETS
+from .pipeline import Compose
+
+SUNRGBD_CLASSES = ('bed', 'table', 'sofa', 'chair', 'toilet', 'desk',
+                   'dresser', 'night_stand', 'bookshelf', 'bathtub')
+
+# depth -> camera axis permutation used by the SUN RGB-D calib convention
+# (x right, y down, z forward from x right, y forward, z up)
+_DEPTH2CAM = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+
+
+@DATASETS.register_module()
+class SUNRGBDDataset:
+    """Reads mmdet3d-format sunrgbd_infos_{train,val}.pkl."""
+
+    def __init__(self, data_root, ann_file, pipeline=None, classes=None,
+                 test_mode=False, box_type_3d='Depth', filter_empty_gt=True,
+                 modality=None, **kwargs):
+        self.data_root = data_root
+        self.CLASSES = tuple(classes) if classes else SUNRGBD_CLASSES
+        self.test_mode = test_mode
+        self.filter_empty_gt = filter_empty_gt
+        with open(ann_file, 'rb') as f:
+            self.infos = pickle.load(f)
+        self.pipeline = Compose(pipeline) if pipeline else None
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_data_info(self, index) -> Dict[str, Any]:
+        info = self.infos[index]
+        pts_path = info['pts_path'] if 'pts_path' in info else \
+            info['point_cloud']['lidar_idx']
+        sample = dict(
+            pts_filename=os.path.join(self.data_root, pts_path),
+            sample_idx=index,
+            transformation_3d_flow=[],
+        )
+        if 'image' in info:
+            sample['img_filename'] = os.path.join(
+                self.data_root, info['image']['image_path'])
+        if 'calib' in info:
+            k = np.asarray(info['calib']['K'], np.float32).reshape(3, 3)
+            rt = np.asarray(info['calib']['Rt'], np.float32).reshape(3, 3)
+            depth2img = k @ (_DEPTH2CAM @ rt.T)
+            mat = np.eye(4, dtype=np.float32)
+            mat[:3, :3] = depth2img
+            sample['depth2img'] = mat
+        annos = info.get('annos', {})
+        n = int(annos.get('gt_num', len(annos.get('name', []))))
+        if n > 0:
+            boxes = np.asarray(annos['gt_boxes_upright_depth'],
+                               np.float32).reshape(-1, 7)
+            if 'class' in annos:
+                labels = np.asarray(annos['class'], np.int64)
+            else:
+                labels = np.asarray(
+                    [self.CLASSES.index(nm) for nm in annos['name']],
+                    np.int64)
+            bboxes_2d = np.asarray(
+                annos.get('bbox', np.zeros((n, 4))), np.float32)
+        else:
+            boxes = np.zeros((0, 7), np.float32)
+            labels = np.zeros((0,), np.int64)
+            bboxes_2d = np.zeros((0, 4), np.float32)
+        sample['ann_info'] = dict(gt_bboxes_3d=boxes, gt_labels_3d=labels,
+                                  bboxes=bboxes_2d, labels=labels)
+        return sample
+
+    def __getitem__(self, index):
+        sample = self.get_data_info(index)
+        if self.pipeline:
+            sample = self.pipeline(sample)
+        return sample
+
+    def get_gt_annos(self) -> List[Dict[str, np.ndarray]]:
+        out = []
+        for info in self.infos:
+            annos = info.get('annos', {})
+            n = int(annos.get('gt_num', len(annos.get('name', []))))
+            if n > 0:
+                boxes = np.asarray(annos['gt_boxes_upright_depth'],
+                                   np.float32).reshape(-1, 7)
+                if 'class' in annos:
+                    labels = np.asarray(annos['class'], np.int64)
+                else:
+                    labels = np.asarray(
+                        [self.CLASSES.index(nm) for nm in annos['name']],
+                        np.int64)
+            else:
+                boxes = np.zeros((0, 7), np.float32)
+                labels = np.zeros((0,), np.int64)
+            out.append(dict(gt_boxes=boxes, gt_labels=labels))
+        return out
+
+    def evaluate(self, results, metric='mAP', iou_thr=(0.25, 0.5),
+                 logger=None, **kwargs):
+        """results: list per scene of dict(boxes_3d, scores_3d, labels_3d)
+        (numpy, already validity-filtered)."""
+        return indoor_eval(self.get_gt_annos(), results,
+                           iou_thresholds=tuple(iou_thr),
+                           class_names=self.CLASSES, logger=logger)
+
+
+@DATASETS.register_module()
+class RepeatDataset:
+    def __init__(self, dataset, times=1, **kwargs):
+        from ..utils.registry import build_from_cfg
+        if isinstance(dataset, dict):
+            dataset = build_from_cfg(dataset, DATASETS)
+        self.dataset = dataset
+        self.times = times
+        self.CLASSES = getattr(dataset, 'CLASSES', None)
+
+    def __len__(self):
+        return len(self.dataset) * self.times
+
+    def __getitem__(self, index):
+        return self.dataset[index % len(self.dataset)]
+
+    def evaluate(self, *args, **kwargs):
+        return self.dataset.evaluate(*args, **kwargs)
+
+
+@DATASETS.register_module()
+class SyntheticSUNRGBD:
+    """Deterministic synthetic scenes in SUN RGB-D format.
+
+    Used for end-to-end tests and throughput benchmarks (no dataset download
+    in this environment).  Scenes contain a floor plane plus points sampled
+    on a few labeled boxes, so a detector can actually (over)fit.
+    """
+
+    def __init__(self, num_scenes=64, num_raw_points=24000, max_boxes=8,
+                 image_hw=(480, 640), pipeline=None, classes=None, seed=0,
+                 test_mode=False, **kwargs):
+        self.num_scenes = num_scenes
+        self.num_raw_points = num_raw_points
+        self.max_boxes = max_boxes
+        self.image_hw = image_hw
+        self.seed = seed
+        self.CLASSES = tuple(classes) if classes else SUNRGBD_CLASSES
+        self.pipeline = Compose(pipeline) if pipeline else None
+        self.test_mode = test_mode
+
+    def __len__(self):
+        return self.num_scenes
+
+    def _gen_scene(self, index):
+        rng = np.random.RandomState(self.seed * 100003 + index)
+        ng = rng.randint(1, self.max_boxes + 1)
+        boxes = np.zeros((ng, 7), np.float32)
+        boxes[:, 0] = rng.uniform(-3, 3, ng)
+        boxes[:, 1] = rng.uniform(1, 6, ng)
+        boxes[:, 2] = rng.uniform(-1.2, 0.2, ng)
+        boxes[:, 3:6] = rng.uniform(0.4, 1.8, (ng, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, ng)
+        labels = rng.randint(0, len(self.CLASSES), ng).astype(np.int64)
+
+        n_obj = self.num_raw_points // 2
+        per = n_obj // ng
+        pts = []
+        for i in range(ng):
+            local = (rng.rand(per, 3) - 0.5) * boxes[i, 3:6]
+            c, s = np.cos(boxes[i, 6]), np.sin(boxes[i, 6])
+            world = np.stack([
+                local[:, 0] * c + local[:, 1] * s,
+                -local[:, 0] * s + local[:, 1] * c,
+                local[:, 2] + boxes[i, 5] / 2], 1)
+            pts.append(world + boxes[i, :3] * np.array([1, 1, 1]))
+        n_bg = self.num_raw_points - per * ng
+        bg = np.stack([rng.uniform(-4, 4, n_bg), rng.uniform(0, 7, n_bg),
+                       np.full(n_bg, -1.3)], 1)
+        points = np.concatenate(pts + [bg], 0).astype(np.float32)
+        # mimic the raw 6-dim bin layout (xyz + rgb)
+        raw = np.concatenate(
+            [points, rng.rand(len(points), 3).astype(np.float32)], 1)
+
+        h, w = self.image_hw
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        k = np.array([[520., 0, w / 2], [0, 520., h / 2], [0, 0, 1]],
+                     np.float32)
+        rt = np.eye(3, dtype=np.float32)
+        depth2img = k @ (_DEPTH2CAM @ rt.T)
+        mat = np.eye(4, dtype=np.float32)
+        mat[:3, :3] = depth2img
+        return raw, img, mat, boxes, labels
+
+    def __getitem__(self, index):
+        raw, img, depth2img, boxes, labels = self._gen_scene(index)
+        sample = dict(
+            raw_points=raw, raw_img=img, depth2img=depth2img,
+            sample_idx=index, transformation_3d_flow=[],
+            ann_info=dict(gt_bboxes_3d=boxes, gt_labels_3d=labels,
+                          bboxes=np.zeros((0, 4), np.float32),
+                          labels=labels))
+        if self.pipeline:
+            sample = self.pipeline(sample)
+        return sample
+
+    def get_gt_annos(self):
+        out = []
+        for i in range(self.num_scenes):
+            _, _, _, boxes, labels = self._gen_scene(i)
+            out.append(dict(gt_boxes=boxes, gt_labels=labels))
+        return out
+
+    def evaluate(self, results, metric='mAP', iou_thr=(0.25, 0.5),
+                 logger=None, **kwargs):
+        return indoor_eval(self.get_gt_annos(), results,
+                           iou_thresholds=tuple(iou_thr),
+                           class_names=self.CLASSES, logger=logger)

@@ -1,0 +1,150 @@
+"""SPMD training engine: jitted train/eval steps + epoch runner.
+
+TPU-native replacement for the reference's training engine
+(mmcv ``EpochBasedRunner`` + hooks + ``MMDistributedDataParallel``, invoked
+via ``train_model`` at /root/reference/train.py:140).  Design:
+
+* ONE jitted train step containing forward, target assignment, loss,
+  backward, grad clip, optimizer and BN-stat update — no host sync inside;
+* data parallelism is a sharding annotation: batches arrive sharded over the
+  mesh's ``data`` axis, params are replicated, and GSPMD inserts the gradient
+  all-reduce (the DDP-equivalent) over ICI automatically;
+* hooks (log / checkpoint / eval / LR step) run between steps on host,
+  reading only already-materialized scalars.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, tx, variables):
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(variables['params']))
+
+
+def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
+                    donate: bool = True):
+    """Build the jitted train step for a detector following the batch API
+    (``model.apply(vars, batch, train=True)`` -> results;
+    ``model.loss(results, batch)`` -> loss dict)."""
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            results, mutated = model.apply(
+                variables, batch, train=True, mutable=['batch_stats'],
+                rngs={'sample': rng, 'dropout': jax.random.fold_in(rng, 1)})
+            losses = model.loss(results, batch)
+            if loss_reducer is not None:
+                total = loss_reducer(losses)
+            else:
+                total = sum(jnp.asarray(v) for v in losses.values())
+            return total, (losses, mutated.get('batch_stats', {}))
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (losses, new_bs)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = {'loss': total}
+        metrics.update(losses)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    def eval_step(state: TrainState, batch):
+        variables = {'params': state.params}
+        if state.batch_stats:
+            variables['batch_stats'] = state.batch_stats
+        results = model.apply(variables, batch, train=False)
+        return model.get_bboxes(results, batch)
+
+    return jax.jit(eval_step)
+
+
+class Runner:
+    """Epoch-based training loop with log/ckpt/eval hooks.
+
+    Mirrors the reference's runner behavior surface: ``max_epochs``, step LR
+    by epoch milestones (folded into the optax schedule), TextLogger-style
+    periodic metric lines, CheckpointHook(interval), EvalHook(interval).
+    """
+
+    def __init__(self, model, tx, variables, train_loader, cfg,
+                 work_dir=None, eval_fn=None, logger=None, mesh=None):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state = create_train_state(model, tx, variables)
+        self.state = replicate(self.state, self.mesh)
+        self.train_loader = train_loader
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.eval_fn = eval_fn
+        self.logger = logger or print
+        self.train_step = make_train_step(model, tx)
+        self.log_interval = cfg.get('log_interval', 50)
+        self.ckpt_interval = cfg.get('checkpoint_interval', 1)
+        self.eval_interval = cfg.get('eval_interval', 0)
+        self.max_epochs = cfg.get('max_epochs', 36)
+        self.start_epoch = 0
+        self._rng = jax.random.PRNGKey(cfg.get('seed', 0))
+
+    def save_checkpoint(self, epoch):
+        if self.work_dir is None:
+            return
+        from .checkpoint import save_checkpoint
+        save_checkpoint(self.work_dir, self.state, epoch,
+                        keep=self.cfg.get('max_keep_ckpts', -1))
+
+    def resume(self, path):
+        from .checkpoint import restore_checkpoint
+        self.state, epoch = restore_checkpoint(path, self.state)
+        self.start_epoch = epoch + 1
+
+    def run(self):
+        step_times = []
+        for epoch in range(self.start_epoch, self.max_epochs):
+            for it, batch in enumerate(self.train_loader):
+                batch = shard_batch(batch, self.mesh)
+                self._rng, rng = jax.random.split(self._rng)
+                t0 = time.perf_counter()
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                if (it + 1) % self.log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    jax.block_until_ready(self.state.params)
+                    step_times.append(time.perf_counter() - t0)
+                    msg = ' '.join(f'{k}: {v:.4f}' for k, v in
+                                   sorted(metrics.items()))
+                    self.logger(f'Epoch [{epoch + 1}/{self.max_epochs}]'
+                                f'[{it + 1}] {msg}')
+            if (epoch + 1) % self.ckpt_interval == 0:
+                self.save_checkpoint(epoch)
+            if self.eval_fn and self.eval_interval and \
+                    (epoch + 1) % self.eval_interval == 0:
+                self.eval_fn(self.state, epoch)
+        return self.state

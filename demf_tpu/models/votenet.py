@@ -33,8 +33,9 @@ class VoteNet(nn.Module):
         return build_from_cfg(cfg, HEADS, extra)
 
     @nn.compact
-    def __call__(self, points, train: bool = False, sample_mod=None):
-        """points: (B, P, C_in). Returns the head results dict."""
+    def __call__(self, batch, train: bool = False, sample_mod=None):
+        """batch: dict with 'points' (B, P, C_in). Returns head results."""
+        points = batch['points'] if isinstance(batch, dict) else batch
         backbone = build_from_cfg(dict(self.backbone), BACKBONES,
                                   {'name': 'backbone'})
         x = backbone(points, train)

@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers (the framework's distributed backend).
+
+TPU-native replacement for the reference's NCCL/DDP stack (SURVEY.md §2d:
+``torch.distributed.launch`` + ``MMDistributedDataParallel`` + NCCL
+all-reduce).  Here parallelism is declarative: a 1-D ``data`` mesh axis (the
+only parallelism the reference has) plus an optional ``model`` axis for
+future tensor sharding; batches are sharded over ``data`` via NamedSharding
+and a single ``jax.jit`` train step lets XLA/GSPMD insert the gradient
+all-reduce over ICI — there is no hand-written collective in the hot path.
+
+Multi-host: call :func:`init_distributed` (``jax.distributed.initialize``)
+before any jax op; everything else is unchanged (SPMD is global-view).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host process-group setup (NCCL ``init_dist`` equivalent)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(devices=None, data_axis='data', model_axis=None,
+              model_parallel=1):
+    """Build a device mesh. Defaults to pure data parallel over all devices.
+
+    Args:
+        devices: explicit device list (default: ``jax.devices()``).
+        model_parallel: size of the model axis (1 = DP only, the reference's
+            regime per SURVEY.md §2d).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if model_axis is None or model_parallel == 1:
+        return Mesh(np.asarray(devices), (data_axis,))
+    assert n % model_parallel == 0
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def data_sharding(mesh, data_axis='data'):
+    """NamedSharding placing the leading (batch) dim on the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(batch, mesh, data_axis='data'):
+    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    sharding = data_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh):
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
