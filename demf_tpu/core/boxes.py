@@ -110,6 +110,13 @@ def points_in_boxes(points, boxes, eps=1e-6):
     (class_agnostic_vote_head.py:200,834): an (N_pts, N_box) dense test in
     one fused XLA computation instead of a scatter kernel.
 
+    NOTE on convention: mmdet3d 0.18's CUDA kernel rotated with the opposite
+    sense from ``DepthInstance3DBoxes.corners`` (a known upstream
+    inconsistency fixed in the mmdet3d 1.0 coordinate refactor).  We use the
+    ``box_corners``-consistent sense (world->local = inverse of the corner
+    rotation), so membership, corners, target assignment and eval IoU all
+    agree within this framework.
+
     Args:
         points: (N_pts, 3).
         boxes: (N_box, 7) bottom-center depth boxes.
@@ -119,9 +126,8 @@ def points_in_boxes(points, boxes, eps=1e-6):
     centers = gravity_center(boxes)  # (N_box, 3)
     shift = points[:, None, :] - centers[None, :, :]  # (P, B, 3)
     yaw = boxes[:, 6]
-    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
-    # local = rotate shift into box frame (CUDA kernel rotates by -yaw:
-    # local_x = x*cos(-rz) - y*sin(-rz); local_y = x*sin(-rz) + y*cos(-rz))
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # world->local: inverse of box_corners' local->world map R(-yaw)
     lx = shift[..., 0] * c[None] - shift[..., 1] * s[None]
     ly = shift[..., 0] * s[None] + shift[..., 1] * c[None]
     lz = shift[..., 2]

@@ -110,18 +110,24 @@ def test_aligned_3d_nms():
 
 
 def test_points_in_boxes_rotation():
-    # 2x1x1 box rotated 45deg about z, bottom z=0.  Under the mmdet3d-0.18
-    # CUDA convention (local = R(yaw)^T shift) the long axis points along
-    # (cos -yaw, sin -yaw) = (0.707, -0.707).
+    # 2x1x1 box rotated 45deg about z, bottom z=0.  With the corners-
+    # consistent convention the long axis points along
+    # R(-yaw) @ x_hat = (cos yaw, -sin yaw) = (0.707, -0.707).
     box = jnp.asarray([[0., 0., 0., 2., 1., 1., np.pi / 4]])
     pts = jnp.asarray([
         [0., 0., 0.5],        # center -> inside
-        [0.65, -0.65, 0.5],   # along the long axis (radius 0.92 < 1)
+        [0.65, -0.65, 0.5],   # along the long axis (|lx| = 0.92 < 1)
         [0.65, 0.65, 0.5],    # perpendicular (|ly| = 0.92 > 0.5) -> outside
         [0., 0., 1.5],        # above -> outside
     ])
     res = np.asarray(box_ops.points_in_boxes(pts, box))[:, 0]
     np.testing.assert_array_equal(res, [True, True, False, False])
+
+    # consistency with box_corners: every corner (pulled inward) is inside
+    corners = box_ops.box_corners(box)[0]
+    inner = corners * 0.99 + box_ops.gravity_center(box)[0] * 0.01
+    res2 = np.asarray(box_ops.points_in_boxes(inner, box))[:, 0]
+    assert res2.all()
 
 
 def _np_msda(value, shapes, locs, weights):
