@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Evaluation entry point (the reference's ``eval.py`` CLI surface).
+
+Builds the test dataloader, restores a checkpoint, runs jitted batched
+inference over the dataset and reports indoor mAP via
+``dataset.evaluate(metric='mAP')``.
+"""
+from __future__ import annotations
+
+import pickle
+
+
+def main(argv=None):
+    from demf_tpu.engine.cli import parse_args_test
+    args = parse_args_test(argv)
+
+    from demf_tpu.utils.config import Config
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+
+    if args.launcher == 'jax':
+        from demf_tpu.parallel.mesh import init_distributed
+        init_distributed()
+
+    import jax
+    import numpy as np
+    import demf_tpu.models  # noqa: F401
+    import demf_tpu.data  # noqa: F401
+    from demf_tpu.data import build_dataset
+    from demf_tpu.data.loader import collate_fixed
+    from demf_tpu.engine import load_params
+    from demf_tpu.engine.evaluation import run_dataset_inference
+    from demf_tpu.utils.registry import DETECTORS, build_from_cfg
+
+    dataset = build_dataset(cfg.data['test'])
+    model = build_from_cfg(cfg.model, DETECTORS)
+
+    batch0 = collate_fixed([dataset[0]], max_gt=cfg.get('max_gt', 64))
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(args.seed), batch0)
+    params = load_params(args.checkpoint, variables['params'])
+    variables = {'params': params,
+                 'batch_stats': variables.get('batch_stats', {})}
+
+    def progress(done, total):
+        if done % (10 * cfg.data['samples_per_gpu']) < \
+                cfg.data['samples_per_gpu']:
+            print(f'[{done}/{total}]', flush=True)
+
+    results = run_dataset_inference(
+        model, variables, dataset,
+        batch_size=cfg.data['samples_per_gpu'],
+        max_gt=cfg.get('max_gt', 64), progress_cb=progress)
+
+    if args.out:
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+        print(f'results written to {args.out}')
+    if args.format_only:
+        return
+    if args.eval:
+        metrics = dataset.evaluate(results, metric=args.eval,
+                                   **(args.eval_options or {}))
+        for k, v in metrics.items():
+            print(f'{k}: {v:.4f}')
+
+
+if __name__ == '__main__':
+    main()
