@@ -4,4 +4,14 @@ from .vote_module import VoteModule
 from .conv_bbox_head import BaseConvBboxHead
 from .vote_head import CAVoteHead, multiclass_nms_3d
 from .votenet import VoteNet
+from .resnet import ResNet
+from .image_neck import ChannelMapper, FPN
+from .transformer import (SinePositionalEncoding,
+                          MultiScaleDeformableAttention, MultiheadAttention,
+                          FFN, DetrTransformerEncoderLayer,
+                          DetrTransformerDecoderLayer, DeformableDetrEncoder,
+                          DeMFTransformerDecoderLayer,
+                          PositionEmbeddingLearned)
+from .demf_head import DeMFVoteHead
+from .demfnet import DeMFVoteNet
 from ..core import coders  # registers bbox coders
