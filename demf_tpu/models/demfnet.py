@@ -27,6 +27,9 @@ class DeMFVoteNet(nn.Module):
     img_backbone: Any = None
     img_neck: Any = None
     img_encoder: Any = None
+    # accepted for config-surface parity (the demf config inherits the
+    # deformdetr base whose DETR head DeMF does not use, ref demfnet.py:27)
+    img_bbox_head: Any = None
     freeze_img_branch: bool = False
     num_sampled_seed: Any = None
     train_cfg: Any = None

@@ -93,7 +93,17 @@ def main(argv=None):
         warmup_iters=lr_cfg.get('warmup_iters', 500),
         warmup_ratio=lr_cfg.get('warmup_ratio', 1.0 / 3))
     grad_clip = (cfg.get('optimizer_config') or {}).get('grad_clip')
-    tx = build_optimizer(cfg.optimizer, variables['params'],
+    optimizer_cfg = dict(cfg.optimizer)
+    frozen = getattr(model, 'frozen_param_patterns', lambda: [])()
+    if frozen:
+        pw = dict(optimizer_cfg.get('paramwise_cfg') or {})
+        keys = dict(pw.get('custom_keys') or {})
+        for pat in frozen:
+            keys[pat] = dict(lr_mult=0.0, decay_mult=0.0)
+        pw['custom_keys'] = keys
+        optimizer_cfg['paramwise_cfg'] = pw
+        logger(f'frozen param patterns: {frozen}')
+    tx = build_optimizer(optimizer_cfg, variables['params'],
                          lr_schedule=schedule, grad_clip=grad_clip)
 
     eval_fn = None
