@@ -22,7 +22,21 @@ def collate_fixed(samples, max_gt=64):
     """
     batch: Dict[str, Any] = {}
     b = len(samples)
-    batch['points'] = np.stack([s['points'] for s in samples])
+    if 'points' in samples[0]:
+        batch['points'] = np.stack([s['points'] for s in samples])
+
+    if 'gt_bboxes' in samples[0]:  # 2D boxes (image-branch pretrain)
+        boxes2d = np.zeros((b, max_gt, 4), np.float32)
+        labels2d = np.zeros((b, max_gt), np.int32)
+        valid2d = np.zeros((b, max_gt), bool)
+        for i, s in enumerate(samples):
+            g = min(len(s['gt_bboxes']), max_gt)
+            boxes2d[i, :g] = s['gt_bboxes'][:g]
+            labels2d[i, :g] = s['gt_labels'][:g]
+            valid2d[i, :g] = True
+        batch['gt_bboxes'] = boxes2d
+        batch['gt_labels'] = labels2d
+        batch['gt_bboxes_valid'] = valid2d
 
     if 'gt_bboxes_3d' in samples[0]:
         boxes = np.zeros((b, max_gt, 7), np.float32)

@@ -97,15 +97,23 @@ class LoadAnnotations:
 class Resize:
     """Resize keeping aspect ratio to fit within img_scale (mmdet policy)."""
 
-    def __init__(self, img_scale=None, keep_ratio=True, **kwargs):
+    def __init__(self, img_scale=None, keep_ratio=True,
+                 multiscale_mode='range', override=False, **kwargs):
         self.img_scale = img_scale
         self.keep_ratio = keep_ratio
+        self.multiscale_mode = multiscale_mode
+        self.override = override
 
     def __call__(self, results):
         import cv2
         img = results['img']
         h, w = img.shape[:2]
-        scale = results.get('scale', self.img_scale)
+        scale = self.img_scale if (self.img_scale is not None and
+                                   (self.override or
+                                    'scale' not in results)) else \
+            results.get('scale', self.img_scale)
+        if isinstance(scale, list):  # multiscale_mode='value'
+            scale = scale[np.random.randint(len(scale))]
         if self.keep_ratio:
             long_edge, short_edge = max(scale), min(scale)
             factor = min(long_edge / max(h, w), short_edge / min(h, w))
@@ -297,6 +305,97 @@ class MultiScaleFlipAug3D:
 
     def __init__(self, transforms, img_scale=None, pts_scale_ratio=1,
                  flip=False, **kwargs):
+        self.transforms = Compose(transforms)
+        self.img_scale = img_scale
+
+    def __call__(self, results):
+        if self.img_scale is not None:
+            results['scale'] = self.img_scale
+        return self.transforms(results)
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    """Random crop (absolute_range mode), mmdet-compatible surface."""
+
+    def __init__(self, crop_size, crop_type='absolute_range',
+                 allow_negative_crop=True, **kwargs):
+        self.crop_size = crop_size
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        ch = np.random.randint(min(self.crop_size[0], h),
+                               min(self.crop_size[1], h) + 1)
+        cw = np.random.randint(min(self.crop_size[0], w),
+                               min(self.crop_size[1], w) + 1)
+        y0 = np.random.randint(0, h - ch + 1)
+        x0 = np.random.randint(0, w - cw + 1)
+        results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+        results['img_shape'] = results['img'].shape
+        results['img_crop_offset'] = np.array([x0, y0], np.float32)
+        if 'gt_bboxes' in results and len(results['gt_bboxes']):
+            b = results['gt_bboxes'] - np.array([x0, y0, x0, y0], np.float32)
+            b[:, [0, 2]] = b[:, [0, 2]].clip(0, cw)
+            b[:, [1, 3]] = b[:, [1, 3]].clip(0, ch)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            if not keep.any() and not self.allow_negative_crop:
+                return results
+            results['gt_bboxes'] = b[keep]
+            results['gt_labels'] = results['gt_labels'][keep]
+        return results
+
+
+@PIPELINES.register_module()
+class AutoAugment:
+    """Randomly pick one policy (a transform list) per sample."""
+
+    def __init__(self, policies):
+        self.policies = [Compose(p) for p in policies]
+
+    def __call__(self, results):
+        policy = self.policies[np.random.randint(len(self.policies))]
+        return policy(results)
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+    def __init__(self, keys=(), **kwargs):
+        self.keys = keys
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register_module()
+class Collect:
+    def __init__(self, keys, meta_keys=None):
+        self.keys = keys
+        self.meta_keys = meta_keys or Collect3D.META_FIELDS
+
+    def __call__(self, results):
+        out = {k: results[k] for k in self.keys if k in results}
+        out['img_meta'] = {k: results[k] for k in self.meta_keys
+                           if k in results}
+        return out
+
+
+@PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """2D test-time wrapper (single scale, no flip -> run inner once)."""
+
+    def __init__(self, transforms, img_scale=None, flip=False, **kwargs):
         self.transforms = Compose(transforms)
         self.img_scale = img_scale
 

@@ -14,4 +14,7 @@ from .transformer import (SinePositionalEncoding,
                           PositionEmbeddingLearned)
 from .demf_head import DeMFVoteHead
 from .demfnet import DeMFVoteNet
+from .detr_head import DeformableDETRHead
+from .vote_fusion import VoteFusion, sample_valid_seeds
+from .imvotenet import ImVoteNet_Deformdetr, ImgMLP
 from ..core import coders  # registers bbox coders
