@@ -16,5 +16,7 @@ from .demf_head import DeMFVoteHead
 from .demfnet import DeMFVoteNet
 from .detr_head import DeformableDETRHead
 from .vote_fusion import VoteFusion, sample_valid_seeds
-from .imvotenet import ImVoteNet_Deformdetr, ImgMLP
+from .rpn_roi import (RPNHead, StandardRoIHead, grid_anchors, delta2bbox,
+                      bbox2delta, pyramid_roi_align)
+from .imvotenet import ImVoteNet_Deformdetr, ImVoteNet, ImgMLP
 from ..core import coders  # registers bbox coders
