@@ -112,6 +112,83 @@ class ClassAgnosticBBoxCoder:
 
 
 @BBOX_CODERS.register_module()
+class PartialBinBasedBBoxCoder:
+    """Classic VoteNet codec: per-class mean sizes + binned directions.
+
+    The parent class of the reference coders (mmdet3d
+    ``PartialBinBasedBBoxCoder``, subclassed at
+    class_agnostic_bbox_coder.py:9); used directly by the standard
+    ``VoteHead`` (configs/_base_/models/votenet.py).
+    """
+
+    def __init__(self, num_dir_bins, num_sizes, mean_sizes, with_rot=True,
+                 **kwargs):
+        self.num_dir_bins = num_dir_bins
+        self.num_sizes = num_sizes
+        self.mean_sizes = np.asarray(mean_sizes, np.float32)
+        self.with_rot = with_rot
+
+    def encode(self, gt_bboxes_3d, gt_labels_3d):
+        center_target = box_ops.gravity_center(gt_bboxes_3d)
+        size_class_target = gt_labels_3d
+        mean = jnp.asarray(self.mean_sizes)[gt_labels_3d]
+        size_res_target = gt_bboxes_3d[..., 3:6] - mean
+        yaw = gt_bboxes_3d[..., 6]
+        if self.with_rot:
+            dir_class_target, dir_res_target = box_ops.angle2class(
+                yaw, self.num_dir_bins)
+        else:
+            dir_class_target = jnp.zeros(yaw.shape, jnp.int32)
+            dir_res_target = jnp.zeros_like(yaw)
+        return (center_target, size_class_target, size_res_target,
+                dir_class_target, dir_res_target)
+
+    def split_pred(self, cls_preds, reg_preds, base_xyz):
+        cls_t = jnp.swapaxes(cls_preds, -1, -2)
+        reg_t = jnp.swapaxes(reg_preds, -1, -2)
+        results = {}
+        nb, ns = self.num_dir_bins, self.num_sizes
+        start = 0
+        results['center'] = base_xyz + reg_t[..., start:start + 3]
+        start += 3
+        results['dir_class'] = reg_t[..., start:start + nb]
+        start += nb
+        dir_res_norm = reg_t[..., start:start + nb]
+        start += nb
+        results['dir_res_norm'] = dir_res_norm
+        results['dir_res'] = dir_res_norm * (np.pi / nb)
+        results['size_class'] = reg_t[..., start:start + ns]
+        start += ns
+        size_res_norm = reg_t[..., start:start + 3 * ns]
+        start += 3 * ns
+        shape = size_res_norm.shape[:-1] + (ns, 3)
+        results['size_res_norm'] = size_res_norm.reshape(shape)
+        results['size_res'] = results['size_res_norm'] * \
+            jnp.asarray(self.mean_sizes)[None, None]
+        results['obj_scores'] = cls_t[..., 0:2]
+        results['sem_scores'] = cls_t[..., 2:]
+        return results
+
+    def decode(self, bbox_out, mode='rpn'):
+        center = bbox_out['center']
+        if self.with_rot:
+            dir_class = jnp.argmax(bbox_out['dir_class'], -1)
+            dir_res = jnp.take_along_axis(
+                bbox_out['dir_res'], dir_class[..., None], -1)[..., 0]
+            dir_angle = box_ops.class2angle(
+                dir_class, dir_res, self.num_dir_bins)[..., None]
+        else:
+            dir_angle = jnp.zeros(center.shape[:-1] + (1,), center.dtype)
+        size_class = jnp.argmax(bbox_out['size_class'], -1)
+        size_res = jnp.take_along_axis(
+            bbox_out['size_res'],
+            size_class[..., None, None].repeat(3, -1), -2)[..., 0, :]
+        mean = jnp.asarray(self.mean_sizes)[size_class]
+        bbox_size = jnp.clip(mean + size_res, 0.1, None)
+        return jnp.concatenate([center, bbox_size, dir_angle], -1)
+
+
+@BBOX_CODERS.register_module()
 class DeMFClassAgnosticBBoxCoder(ClassAgnosticBBoxCoder):
     """Center+size codec for DeMFVoteHead (ref :140-251)."""
 

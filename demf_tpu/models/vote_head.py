@@ -229,3 +229,117 @@ class CAVoteHead(nn.Module):
         bbox3d = self.coder.decode(results)
         return multiclass_nms_3d(obj_scores, sem_scores, bbox3d, points,
                                  self.test_cfg)
+
+
+@HEADS.register_module()
+class VoteHead(CAVoteHead):
+    """Standard VoteNet head (mmdet3d ``VoteHead``).
+
+    The parent class of the reference's heads (class_agnostic_vote_head.py:9,
+    25; configured at configs/_base_/models/votenet.py): per-class mean-size
+    regression (PartialBinBasedBBoxCoder), chamfer center loss (both
+    directions), size class + normalized size residual losses, and
+    distance-only objectness (no inside-box test).
+    """
+
+    def _cls_out_channels(self):
+        return self.num_classes + 2
+
+    def _reg_out_channels(self):
+        nb = self.bbox_coder['num_dir_bins']
+        ns = self.bbox_coder['num_sizes']
+        return 3 + nb * 2 + ns * 4
+
+    def loss(self, results, points, gt_bboxes_3d, gt_labels_3d, gt_valid):
+        import numpy as np
+        from .target_assign import _vote_targets_single
+        from .losses import chamfer_distance
+
+        coder = self.coder
+        tcfg = self.train_cfg
+        aggregated_points = results['aggregated_points']
+
+        # empty-GT handling (fake zero box with label 0, ref :764-778)
+        any_valid = jnp.any(gt_valid, axis=1, keepdims=True)
+        first_slot = jnp.zeros_like(gt_valid).at[:, 0].set(True)
+        gt_valid = jnp.where(any_valid, gt_valid, first_slot)
+        gt_bboxes_3d = jnp.where(gt_valid[..., None], gt_bboxes_3d, 0.)
+        gt_labels_3d = jnp.where(gt_valid, gt_labels_3d, 0)
+
+        vote_targets, vote_target_masks = jax.vmap(
+            lambda p, b, v: _vote_targets_single(p, b, v,
+                                                 self.gt_per_seed))(
+            points[..., :3], gt_bboxes_3d, gt_valid)
+
+        (center_t, size_cls_t, size_res_t, dir_cls_t,
+         dir_res_t) = coder.encode(gt_bboxes_3d, gt_labels_3d)
+
+        d2 = jnp.sum(
+            (aggregated_points[:, :, None] - center_t[:, None]) ** 2, -1)
+        d2 = jnp.where(gt_valid[:, None, :], d2, 1e10)
+        assignment = jnp.argmin(d2, -1)
+        euclid = jnp.sqrt(jnp.min(d2, -1) + 1e-6)
+
+        objectness_targets = (euclid < tcfg['pos_distance_thr']).astype(
+            jnp.int32)
+        objectness_masks = ((euclid < tcfg['pos_distance_thr']) |
+                            (euclid > tcfg['neg_distance_thr'])).astype(
+            jnp.float32)
+        obj_w = objectness_masks / (jnp.sum(objectness_masks) + 1e-6)
+        blw = objectness_targets.astype(jnp.float32)
+        blw = blw / (jnp.sum(blw) + 1e-6)
+
+        gather = lambda x: jnp.take_along_axis(
+            x, assignment[..., None] if x.ndim == 3 else assignment, axis=1)
+        center_a = jnp.take_along_axis(
+            center_t, assignment[..., None], axis=1)
+        size_cls_a = jnp.take_along_axis(size_cls_t, assignment, axis=1)
+        size_res_a = jnp.take_along_axis(
+            size_res_t, assignment[..., None], axis=1)
+        dir_cls_a = jnp.take_along_axis(dir_cls_t, assignment, axis=1)
+        dir_res_a = jnp.take_along_axis(dir_res_t, assignment, axis=1) / (
+            np.pi / coder.num_dir_bins)
+        mask_targets = jnp.take_along_axis(gt_labels_3d, assignment, axis=1)
+
+        vm = VoteModule(**self.vote_module_cfg, parent=None)
+        losses = {}
+        losses['vote_loss'] = vm.get_loss(
+            results['seed_points'], results['vote_points'],
+            results['seed_indices'], vote_target_masks, vote_targets)
+
+        losses['objectness_loss'] = build_loss(self.objectness_loss)(
+            results['obj_scores'], objectness_targets, weight=obj_w)
+
+        # chamfer center loss (both directions, ref VoteNet semantics)
+        valid_w = gt_valid.astype(jnp.float32)
+        valid_w = valid_w / (jnp.sum(valid_w) + 1e-6)
+        ccfg = dict(self.center_loss)
+        src2dst, dst2src, _, _ = chamfer_distance(
+            results['center'], center_t, mode=ccfg.get('mode', 'l2'),
+            dst_valid=gt_valid)
+        losses['center_loss'] = (
+            jnp.sum(src2dst * blw) * ccfg.get('loss_src_weight', 1.0) +
+            jnp.sum(jnp.where(gt_valid, dst2src, 0.) * valid_w) *
+            ccfg.get('loss_dst_weight', 1.0))
+
+        losses['dir_class_loss'] = build_loss(self.dir_class_loss)(
+            results['dir_class'], dir_cls_a, weight=blw)
+        dir_res_norm = jnp.take_along_axis(
+            results['dir_res_norm'], dir_cls_a[..., None], -1)[..., 0]
+        losses['dir_res_loss'] = build_loss(self.dir_res_loss)(
+            dir_res_norm, dir_res_a, weight=blw)
+
+        losses['size_class_loss'] = build_loss(self.size_class_loss)(
+            results['size_class'], size_cls_a, weight=blw)
+        size_res_norm_pred = jnp.take_along_axis(
+            results['size_res_norm'],
+            size_cls_a[..., None, None].repeat(3, -1), -2)[..., 0, :]
+        mean = jnp.asarray(coder.mean_sizes)[size_cls_a]
+        size_res_target_norm = size_res_a / jnp.clip(mean, 1e-6, None)
+        losses['size_res_loss'] = build_loss(self.size_res_loss)(
+            size_res_norm_pred, size_res_target_norm,
+            weight=blw[..., None])
+
+        losses['semantic_loss'] = build_loss(self.semantic_loss)(
+            results['sem_scores'], mask_targets, weight=blw)
+        return losses

@@ -9,6 +9,8 @@ across the fori_loop.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +19,10 @@ def furthest_point_sample(points_xyz, num_samples):
     """Iterative max-min-distance sampling.
 
     Matches mmdet3d semantics: the first selected index is 0 and distances
-    are squared euclidean.
+    are squared euclidean.  On TPU this dispatches to the Pallas kernel
+    (ops/pallas/fps.py) that keeps the running min-distance vector in VMEM;
+    elsewhere (and under DEMF_TPU_DISABLE_PALLAS=1) it runs the XLA
+    fori_loop formulation below.
 
     Args:
         points_xyz: (B, N, 3) float coordinates.
@@ -25,6 +30,15 @@ def furthest_point_sample(points_xyz, num_samples):
     Returns:
         (B, K) int32 indices into N.
     """
+    if (jax.default_backend() == 'tpu'
+            and not os.environ.get('DEMF_TPU_DISABLE_PALLAS')):
+        from .pallas.fps import furthest_point_sample_pallas
+        return furthest_point_sample_pallas(points_xyz, num_samples)
+    return _furthest_point_sample_xla(points_xyz, num_samples)
+
+
+def _furthest_point_sample_xla(points_xyz, num_samples):
+    """Reference XLA implementation (also the oracle for the kernel)."""
     b, n, _ = points_xyz.shape
     xyz = points_xyz.astype(jnp.float32)
 
