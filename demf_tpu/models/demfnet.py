@@ -63,12 +63,25 @@ class DeMFVoteNet(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, batch, train: bool = False, sample_mod=None):
-        points = batch['points']
-        img = batch['img']
+    def __call__(self, batch, train: bool = False, sample_mod=None,
+                 img_feat_only: bool = False):
+        """batch needs 'points', 'img_meta' and either 'img' (HxWx3 images)
+        or 'img_features' (precomputed frozen-branch features — the frozen
+        image branch output is deterministic per scene, so a TPU-first
+        training loop computes it once per scene and caches it; see
+        engine/feature_cache.py).  ``img_feat_only=True`` runs just the
+        image branch (the cache-fill pass)."""
         meta = batch['img_meta']
 
-        img_features = self.extract_img_feat(img, meta['img_shape'], train)
+        if 'img_features' in batch:
+            img_features = jax.lax.stop_gradient(
+                tuple(batch['img_features']))
+        else:
+            img_features = self.extract_img_feat(
+                batch['img'], meta['img_shape'], train)
+        if img_feat_only:
+            return img_features
+        points = batch['points']
 
         pts_backbone = build_from_cfg(dict(self.pts_backbone), BACKBONES,
                                       {'name': 'pts_backbone'})

@@ -8,16 +8,18 @@ encoder and the DeMF decoder cross-attention).  The math matches
 grid_sample-style bilinear reads (align_corners=False, zero padding) at
 learned per-head/level/point offsets, reduced with attention weights.
 
-TPU design notes:
-  * the 4-corner gathers run in a (B, heads, head_dim, Q*P) layout — the
-    long sample axis sits in the 128-lane dimension and head_dim (32) in
-    sublanes, avoiding the 4x lane-padding blowup of a head_dim-minor
-    layout;
-  * queries are processed in static chunks via ``lax.map`` so the live
-    gather temporaries are bounded (~hundreds of MB at the reference's
-    ~22k-token encoder instead of multi-GB);
+TPU performance notes (measured on v5e):
+  * gathers fetch CONTIGUOUS per-head rows (layout (B, heads, HW, hd),
+    gather on axis 2) — a lane-minor sample layout turns every read into a
+    4-byte scattered access and is ~10x slower;
+  * the gather operand is cast to bf16 (halves the dominant HBM traffic;
+    the weighted reduction accumulates in fp32);
+  * queries run in static chunks via ``lax.map`` so live gather temporaries
+    stay bounded at the reference's ~22k-token encoder;
   * spatial shapes are static so every slice is compile-time fixed.
-A Pallas kernel specializing the gather tiles is the planned next step.
+The gather traffic (4 corners x points x levels x heads) is inherent to an
+XLA formulation; a Pallas kernel holding the bf16 level plane in VMEM is the
+~100x-traffic upgrade path once Mosaic exposes vector gathers.
 """
 from __future__ import annotations
 
@@ -25,42 +27,44 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather_hd_lanes(value_t, loc_xy, h, w):
+def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
     """Bilinear sample with zero padding, align_corners=False.
 
     Args:
-        value_t: (B, heads, head_dim, H*W) one level's features
-            (sample axis last).
+        value_rows: (B, heads, H*W, hd) one level's features (bf16),
+            hd-minor so each gathered row is contiguous.
         loc_xy: (B, heads, Q, 2) normalized [0, 1] sample locations (x, y).
     Returns:
-        (B, heads, head_dim, Q).
+        (B, heads, Q, hd) in ``out_dtype``.
     """
     x = loc_xy[..., 0] * w - 0.5
     y = loc_xy[..., 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx1 = x - x0
-    wy1 = y - y0
+    wx1 = (x - x0).astype(out_dtype)
+    wy1 = (y - y0).astype(out_dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
     out = None
-    for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
-        for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+    one = jnp.asarray(1.0, out_dtype)
+    for dy, wy in ((0, one - wy1), (1, wy1)):
+        for dx, wx in ((0, one - wx1), (1, wx1)):
             xi = x0i + dx
             yi = y0i + dy
             ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
             g = jnp.take_along_axis(
-                value_t, idx[:, :, None, :].astype(jnp.int32), axis=3)
-            wgt = (wx * wy * ok).astype(value_t.dtype)[:, :, None, :]
+                value_rows, idx[..., None].astype(jnp.int32),
+                axis=2).astype(out_dtype)
+            wgt = (wx * wy * ok.astype(out_dtype))[..., None]
             out = g * wgt if out is None else out + g * wgt
     return out
 
 
 def multi_scale_deformable_attention(value, spatial_shapes,
                                      sampling_locations, attention_weights,
-                                     query_chunk=4096):
+                                     query_chunk=2048, gather_dtype=None):
     """Core MSDA sampling + weighted reduction.
 
     Args:
@@ -70,38 +74,43 @@ def multi_scale_deformable_attention(value, spatial_shapes,
         attention_weights: (B, Q, heads, levels, points), normalized.
         query_chunk: static query-chunk size bounding gather temporaries.
     Returns:
-        (B, Q, heads * head_dim).
+        (B, Q, heads * head_dim) in value.dtype.
     """
     b, _, heads, hd = value.shape
     q = sampling_locations.shape[1]
     npoints = sampling_locations.shape[4]
+    if gather_dtype is None:
+        gather_dtype = (jnp.bfloat16 if value.dtype == jnp.float32
+                        else value.dtype)
 
-    # per-level value planes, sample axis last: (B, heads, hd, H*W)
+    # per-level value planes: (B, heads, HW, hd), rows contiguous per head
     planes = []
     start = 0
     for (h, w) in spatial_shapes:
-        v = value[:, start:start + h * w]
-        planes.append(jnp.transpose(v, (0, 2, 3, 1)))
+        v = value[:, start:start + h * w].astype(gather_dtype)
+        planes.append(jnp.transpose(v, (0, 2, 1, 3)))
         start += h * w
 
     def run_chunk(args):
         locs_c, aw_c = args
-        # locs_c: (B, qc, heads, L, P, 2); aw_c: (B, qc, heads, L, P)
         qc = locs_c.shape[1]
-        out = jnp.zeros((b, heads, hd, qc), value.dtype)
+        out = jnp.zeros((b, heads, qc, hd), jnp.float32)
         for lvl, (h, w) in enumerate(spatial_shapes):
-            loc = jnp.moveaxis(locs_c[:, :, :, lvl], 2, 1)  # (B,h,qc,P,2)
+            loc = jnp.moveaxis(locs_c[:, :, :, lvl], 2, 1)   # (B,h,qc,P,2)
             loc = loc.reshape(b, heads, qc * npoints, 2)
-            sampled = _bilinear_gather_hd_lanes(planes[lvl], loc, h, w)
-            sampled = sampled.reshape(b, heads, hd, qc, npoints)
-            aw = jnp.moveaxis(aw_c[:, :, :, lvl], 2, 1)     # (B,h,qc,P)
-            aw = aw[:, :, None].astype(value.dtype)
-            out = out + jnp.sum(sampled * aw, axis=4)
-        return out                                           # (B,h,hd,qc)
+            sampled = _bilinear_gather_rows(planes[lvl], loc, h, w,
+                                            gather_dtype)
+            sampled = sampled.reshape(b, heads, qc, npoints, hd)
+            aw = jnp.moveaxis(aw_c[:, :, :, lvl], 2, 1)      # (B,h,qc,P)
+            out = out + jnp.sum(
+                sampled.astype(jnp.float32) *
+                aw[..., None].astype(jnp.float32), axis=3)
+        return out                                            # (B,h,qc,hd)
 
     if q <= query_chunk:
         out = run_chunk((sampling_locations, attention_weights))
-        return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, q, heads * hd)
+        return jnp.moveaxis(out, 1, 2).reshape(
+            b, q, heads * hd).astype(value.dtype)
 
     nchunks = -(-q // query_chunk)
     q_pad = nchunks * query_chunk
@@ -113,7 +122,8 @@ def multi_scale_deformable_attention(value, spatial_shapes,
                                      len(spatial_shapes), npoints, 2), 1, 0)
     aw = jnp.moveaxis(aw.reshape(b, nchunks, query_chunk, heads,
                                  len(spatial_shapes), npoints), 1, 0)
-    outs = jax.lax.map(run_chunk, (locs, aw))                # (nc,B,h,hd,qc)
-    out = jnp.moveaxis(outs, 0, 3)                           # (B,h,hd,nc,qc)
-    out = out.reshape(b, heads, hd, q_pad)[..., :q]
-    return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, q, heads * hd)
+    outs = jax.lax.map(run_chunk, (locs, aw))                # (nc,B,h,qc,hd)
+    out = jnp.moveaxis(outs, 0, 2)                           # (B,h,nc,qc,hd)
+    out = out.reshape(b, heads, q_pad, hd)[:, :, :q]
+    return jnp.moveaxis(out, 1, 2).reshape(
+        b, q, heads * hd).astype(value.dtype)

@@ -74,8 +74,9 @@ def furthest_point_sample_pallas(points_xyz, num_samples, interpret=False):
         in_specs=[pl.BlockSpec((1, 3, nr, LANES),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
+        # scalar stores are only legal to SMEM on Mosaic
         out_specs=pl.BlockSpec((1, 1, num_samples), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((nr, LANES), jnp.float32)],
         interpret=interpret,

@@ -215,3 +215,35 @@ def test_reference_point_projection_center():
     uv = np.asarray(project_points_to_image(pts, meta))[0, 0]
     np.testing.assert_allclose(uv[0], (w / 2) / (w - 1), atol=1e-3)
     np.testing.assert_allclose(uv[1], (h / 2) / (h - 1), atol=1e-3)
+
+
+def test_demf_cached_features_match_recompute(demf_model_and_vars):
+    """'img_features' path must reproduce the recompute path exactly."""
+    model, variables, batch = demf_model_and_vars
+    from demf_tpu.engine.feature_cache import compute_image_features
+    feats = compute_image_features(model, variables, batch)
+    cached = dict(batch)
+    cached['img_features'] = feats
+    cached.pop('img')
+
+    @jax.jit
+    def infer(variables, b):
+        results = model.apply(variables, b, train=False)
+        return model.get_bboxes(results, b)
+
+    det_full = infer(variables, batch)
+    det_cached = infer(variables, cached)
+    np.testing.assert_allclose(np.asarray(det_full['scores_3d']),
+                               np.asarray(det_cached['scores_3d']),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_feature_cache_roundtrip(tmp_path, demf_model_and_vars):
+    from demf_tpu.engine.feature_cache import FeatureCache
+    cache = FeatureCache(str(tmp_path / 'cache'))
+    feats = [np.random.rand(4, 6, 8).astype(np.float32) for _ in range(3)]
+    cache.save(7, feats)
+    assert cache.has(7) and not cache.has(8)
+    loaded = cache.load(7)
+    for a, b in zip(feats, loaded):
+        np.testing.assert_allclose(a, b, atol=1e-3)  # fp16 storage

@@ -184,6 +184,16 @@ def test_msda_matches_oracle():
     w_ = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
     w_ /= w_.sum((-1, -2), keepdims=True)
     out = np.asarray(ops.multi_scale_deformable_attention(
-        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_)))
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_),
+        gather_dtype=jnp.float32))
     ref = _np_msda(value, shapes, locs, w_)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # the default bf16 gather path stays within bf16 tolerance
+    out16 = np.asarray(ops.multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_)))
+    np.testing.assert_allclose(out16, ref, rtol=2e-2, atol=2e-2)
+    # exercise the query-chunked path
+    outc = np.asarray(ops.multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_),
+        query_chunk=2, gather_dtype=jnp.float32))
+    np.testing.assert_allclose(outc, ref, rtol=1e-4, atol=1e-5)
