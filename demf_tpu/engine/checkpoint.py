@@ -60,13 +60,18 @@ def restore_checkpoint(path, state_template):
     return payload['state'], payload['epoch']
 
 
-def load_params(path, params_template):
-    """Warm-start: restore params only (``load_from`` mode)."""
+def load_params(path, params_template=None, with_batch_stats=False):
+    """Warm-start: restore params only (``load_from`` mode).
+
+    Restores the raw checkpoint tree (so the caller needs no optimizer-state
+    template) and extracts params (+ batch_stats when requested).
+    """
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(
-        os.path.abspath(path),
-        {'state': {'params': jax.device_get(params_template)}, 'epoch': 0})
-    return payload['state']['params']
+    payload = ckptr.restore(os.path.abspath(path))
+    state = payload['state']
+    if with_batch_stats:
+        return state['params'], state.get('batch_stats', {})
+    return state['params']
 
 
 def remap_img_branch_keys(params: Any) -> Any:

@@ -39,9 +39,11 @@ def main(argv=None):
     batch0 = collate_fixed([dataset[0]], max_gt=cfg.get('max_gt', 64))
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(args.seed), batch0)
-    params = load_params(args.checkpoint, variables['params'])
-    variables = {'params': params,
-                 'batch_stats': variables.get('batch_stats', {})}
+    params, batch_stats = load_params(args.checkpoint,
+                                      with_batch_stats=True)
+    if not batch_stats:
+        batch_stats = variables.get('batch_stats', {})
+    variables = {'params': params, 'batch_stats': batch_stats}
 
     def progress(done, total):
         if done % (10 * cfg.data['samples_per_gpu']) < \

@@ -1,0 +1,36 @@
+"""CLI smoke: train.py (2 epochs, ckpt, eval hook) -> eval.py (mAP)."""
+import os
+import sys
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), '..')
+sys.path.insert(0, REPO)
+
+
+@pytest.mark.slow
+def test_train_then_eval_cli(tmp_path):
+    import train as train_cli
+    import eval as eval_cli
+
+    cfg = os.path.join(REPO, 'configs/synthetic/votenet_tiny.py')
+    work_dir = str(tmp_path / 'work')
+    train_cli.main([cfg, '--work-dir', work_dir, '--seed', '1'])
+
+    ckpt_dir = os.path.join(work_dir, 'checkpoints')
+    epochs = sorted(os.listdir(ckpt_dir))
+    assert epochs, 'no checkpoint written'
+    ckpt = os.path.join(ckpt_dir, epochs[-1])
+
+    out = str(tmp_path / 'results.pkl')
+    eval_cli.main([cfg, ckpt, '--out', out, '--eval', 'mAP'])
+    assert os.path.exists(out)
+    # the dumped config must reload
+    from demf_tpu.utils.config import Config
+    dumped = Config.fromfile(os.path.join(work_dir, 'votenet_tiny.py'))
+    assert dumped.model.type == 'VoteNet'
+    # a training log exists with loss lines
+    logs = [f for f in os.listdir(work_dir) if f.endswith('.log')]
+    assert logs
+    text = open(os.path.join(work_dir, logs[0])).read()
+    assert 'loss' in text and 'eval @ epoch' in text
