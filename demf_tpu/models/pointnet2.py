@@ -124,8 +124,7 @@ class PointFPModule(nn.Module):
     def __call__(self, target_xyz, source_xyz, target_feats, source_feats,
                  train: bool = False):
         interpolated = three_nn_interpolate(
-            target_xyz, source_xyz, jnp.swapaxes(source_feats, 1, 2))
-        interpolated = jnp.swapaxes(interpolated, 1, 2)  # (B, N, C)
+            target_xyz, source_xyz, source_feats)      # (B, N, C)
         if target_feats is not None:
             new = jnp.concatenate([interpolated, target_feats], -1)
         else:

@@ -4,6 +4,11 @@ TPU-native replacement for mmdet3d CUDA ops ``three_nn`` /
 ``three_interpolate`` (pulled in by the reference through the PointNet2SASSG
 FP stages, configs/demf/demf_votenet.py:56).  Source sets are small (<=512
 points), so a dense distance matrix + top-k is both exact and fast on TPU.
+
+Perf note (xplane-verified on v5e): the interpolation gather must fetch
+contiguous channel-LAST rows ((B, M, C), gather axis 1).  A channel-first
+(B, C, M) take_along_axis broadcasts indices across C and degenerates into
+4-byte scattered reads — it was 67% of the whole PointNet++ forward.
 """
 from __future__ import annotations
 
@@ -29,33 +34,37 @@ def three_nn(unknown, known):
 
 
 def three_interpolate(features, idx, weight):
-    """Weighted sum of 3 neighbor features.
+    """Weighted sum of 3 neighbor features (channel-last).
 
     Args:
-        features: (B, C, M) source features.
+        features: (B, M, C) source features.
         idx: (B, N, 3) neighbor indices.
         weight: (B, N, 3) interpolation weights.
     Returns:
-        (B, C, N).
+        (B, N, C).
     """
-    b, c, m = features.shape
+    b, m, c = features.shape
     n = idx.shape[1]
-    flat = idx.reshape(b, 1, n * 3).astype(jnp.int32)
-    flat = jnp.broadcast_to(flat, (b, c, n * 3))
-    gathered = jnp.take_along_axis(features, flat, axis=2).reshape(b, c, n, 3)
-    return jnp.sum(gathered * weight[:, None, :, :], -1)
+    flat = idx.reshape(b, n * 3, 1).astype(jnp.int32)
+    gathered = jnp.take_along_axis(features, flat, axis=1)  # (B, N*3, C)
+    gathered = gathered.reshape(b, n, 3, c)
+    return jnp.sum(gathered * weight[..., None].astype(features.dtype), 2)
 
 
 def three_nn_interpolate(unknown, known, features):
     """Fused three_nn + inverse-distance weights + interpolate.
 
     Matches mmdet3d PointFPModule's weighting: w = (1/d) / sum(1/d) with
-    d clamped at 1e-10 (the CUDA op adds 1e-8 to squared dists).
+    the CUDA op's 1e-8 epsilon on squared distances.
+
+    Args:
+        unknown: (B, N, 3); known: (B, M, 3); features: (B, M, C).
+    Returns:
+        (B, N, C).
     """
     d2 = _sqdist(unknown.astype(jnp.float32), known.astype(jnp.float32))
     neg, idx = jax.lax.top_k(-d2, 3)
     dist2 = jnp.maximum(-neg, 0.0)
     dist_recip = 1.0 / (dist2 + 1e-8)
     weight = dist_recip / jnp.sum(dist_recip, -1, keepdims=True)
-    return three_interpolate(features, idx.astype(jnp.int32),
-                             weight.astype(features.dtype))
+    return three_interpolate(features, idx.astype(jnp.int32), weight)

@@ -94,7 +94,7 @@ def test_three_nn_interpolate():
     rng = np.random.RandomState(3)
     unknown = rng.randn(1, 20, 3).astype(np.float32)
     known = rng.randn(1, 7, 3).astype(np.float32)
-    feats = rng.randn(1, 4, 7).astype(np.float32)
+    feats = rng.randn(1, 7, 4).astype(np.float32)  # channel-last
     out = np.asarray(ops.three_nn_interpolate(
         jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(feats)))
     # numpy oracle
@@ -103,7 +103,7 @@ def test_three_nn_interpolate():
     dd = np.take_along_axis(d2, nn, -1)
     w = 1.0 / (dd + 1e-8)
     w = w / w.sum(-1, keepdims=True)
-    ref = np.einsum('nk,cnk->cn', w, feats[0][:, nn])
+    ref = np.einsum('nk,nkc->nc', w, feats[0][nn])
     np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-5)
 
 
