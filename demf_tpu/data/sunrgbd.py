@@ -203,14 +203,35 @@ class SyntheticSUNRGBD:
         mat[:3, :3] = depth2img
         return raw, img, mat, boxes, labels
 
+    @staticmethod
+    def _project_boxes_2d(boxes, depth2img, hw):
+        """3D box corners -> clipped 2D xyxy boxes (for the 2D branches)."""
+        from ..core.boxes import box_corners
+        import jax.numpy as jnp
+        corners = np.asarray(box_corners(jnp.asarray(boxes)))  # (G, 8, 3)
+        hom = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
+        p2d = hom @ depth2img.T
+        z = np.clip(p2d[..., 2], 1e-3, None)
+        uv = p2d[..., :2] / z[..., None]
+        h, w = hw
+        x1 = uv[..., 0].min(-1).clip(0, w - 1)
+        y1 = uv[..., 1].min(-1).clip(0, h - 1)
+        x2 = uv[..., 0].max(-1).clip(0, w - 1)
+        y2 = uv[..., 1].max(-1).clip(0, h - 1)
+        boxes2d = np.stack([x1, y1, x2, y2], -1).astype(np.float32)
+        keep = (x2 - x1 > 2) & (y2 - y1 > 2)
+        return boxes2d, keep
+
     def __getitem__(self, index):
         raw, img, depth2img, boxes, labels = self._gen_scene(index)
+        boxes2d, keep2d = self._project_boxes_2d(boxes, depth2img,
+                                                 self.image_hw)
         sample = dict(
             raw_points=raw, raw_img=img, depth2img=depth2img,
             sample_idx=index, transformation_3d_flow=[],
             ann_info=dict(gt_bboxes_3d=boxes, gt_labels_3d=labels,
-                          bboxes=np.zeros((0, 4), np.float32),
-                          labels=labels))
+                          bboxes=boxes2d[keep2d],
+                          labels=labels[keep2d]))
         if self.pipeline:
             sample = self.pipeline(sample)
         return sample

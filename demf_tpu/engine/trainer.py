@@ -98,7 +98,11 @@ class Runner:
                  work_dir=None, eval_fn=None, logger=None, mesh=None):
         self.model = model
         self.tx = tx
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            from ..parallel.mesh import make_mesh_for_batch
+            mesh = make_mesh_for_batch(
+                getattr(train_loader, 'batch_size', 1) or 1)
+        self.mesh = mesh
         self.state = create_train_state(model, tx, variables)
         self.state = replicate(self.state, self.mesh)
         self.train_loader = train_loader

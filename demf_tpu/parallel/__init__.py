@@ -1,1 +1,2 @@
-from .mesh import make_mesh, shard_batch, replicate, data_sharding
+from .mesh import (make_mesh, make_mesh_for_batch, shard_batch, replicate,
+                   data_sharding)

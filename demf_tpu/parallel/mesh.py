@@ -47,6 +47,16 @@ def make_mesh(devices=None, data_axis='data', model_axis=None,
     return Mesh(arr, (data_axis, model_axis))
 
 
+def make_mesh_for_batch(batch_size, devices=None, data_axis='data'):
+    """DP mesh over the largest device count that divides the batch size."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n], data_axis=data_axis)
+
+
 def data_sharding(mesh, data_axis='data'):
     """NamedSharding placing the leading (batch) dim on the data axis."""
     return NamedSharding(mesh, P(data_axis))

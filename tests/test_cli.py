@@ -34,3 +34,18 @@ def test_train_then_eval_cli(tmp_path):
     assert logs
     text = open(os.path.join(work_dir, logs[0])).read()
     assert 'loss' in text and 'eval @ epoch' in text
+
+
+@pytest.mark.slow
+def test_detr_pretrain_cli(tmp_path):
+    """Stage-1 2D pretrain path through the train CLI (image-only batches)."""
+    import train as train_cli
+    cfg = os.path.join(REPO, 'configs/synthetic/detr_pretrain_tiny.py')
+    work_dir = str(tmp_path / 'pretrain')
+    train_cli.main([cfg, '--work-dir', work_dir, '--seed', '0',
+                    '--no-validate'])
+    ckpt_dir = os.path.join(work_dir, 'checkpoints')
+    assert os.listdir(ckpt_dir)
+    logs = [f for f in os.listdir(work_dir) if f.endswith('.log')]
+    text = open(os.path.join(work_dir, logs[0])).read()
+    assert 'loss_cls' in text and 'loss_iou' in text
