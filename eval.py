@@ -44,6 +44,10 @@ def main(argv=None):
     if not batch_stats:
         batch_stats = variables.get('batch_stats', {})
     variables = {'params': params, 'batch_stats': batch_stats}
+    if args.fuse_conv_bn:
+        from demf_tpu.engine.fuse_bn import fuse_conv_bn
+        variables, n_fused = fuse_conv_bn(variables)
+        print(f'fused {n_fused} conv+BN pairs')
 
     def progress(done, total):
         if done % (10 * cfg.data['samples_per_gpu']) < \

@@ -125,3 +125,30 @@ def test_dense_from_linear():
     new_vars, _ = porter.build(variables)
     out = model.apply(new_vars, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fuse_conv_bn_preserves_outputs():
+    """BN folding must leave eval-mode outputs unchanged."""
+    import jax.numpy as jnp
+    from demf_tpu.engine.fuse_bn import fuse_conv_bn
+    from demf_tpu.models.pointnet2 import SharedMLP
+    model = SharedMLP([8, 6])
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 4).astype(
+        np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # make BN stats non-trivial
+    import jax as _jax
+    variables = _jax.tree_util.tree_map(np.asarray, variables)
+    for i in range(2):
+        bn = variables['batch_stats'][f'BatchNorm_{i}']
+        bn['mean'] = np.random.RandomState(i).randn(*bn['mean'].shape)
+        bn['var'] = np.random.RandomState(i).rand(*bn['var'].shape) + 0.5
+        bnp = variables['params'][f'BatchNorm_{i}']
+        bnp['scale'] = np.random.RandomState(i + 5).randn(
+            *bnp['scale'].shape)
+    ref = model.apply(variables, x, train=False)
+    fused, n = fuse_conv_bn(variables)
+    assert n == 2
+    out = model.apply(fused, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
