@@ -117,6 +117,14 @@ class Runner:
         self.max_epochs = cfg.get('max_epochs', 36)
         self.start_epoch = 0
         self._rng = jax.random.PRNGKey(cfg.get('seed', 0))
+        self._tb = None
+        if work_dir and cfg.get('tensorboard', True):
+            try:  # TensorboardLoggerHook equivalent (default_runtime.py:9)
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(
+                    logdir=f'{work_dir}/tf_logs', flush_secs=30)
+            except Exception:
+                self._tb = None
 
     def save_checkpoint(self, epoch):
         if self.work_dir is None:
@@ -146,6 +154,10 @@ class Runner:
                                    sorted(metrics.items()))
                     self.logger(f'Epoch [{epoch + 1}/{self.max_epochs}]'
                                 f'[{it + 1}] {msg}')
+                    if self._tb is not None:
+                        step = int(self.state.step)
+                        for k, v in metrics.items():
+                            self._tb.add_scalar(f'train/{k}', v, step)
             if (epoch + 1) % self.ckpt_interval == 0:
                 self.save_checkpoint(epoch)
             if self.eval_fn and self.eval_interval and \

@@ -129,3 +129,20 @@ def test_optimizer_lr_mult():
     updates, _ = tx.update(grads, state, params)
     ratio = float(updates['decoder']['w'][0] / updates['other']['w'][0])
     assert abs(ratio - 0.05) < 1e-5
+
+
+def test_aug_test_flip_ensemble(loader):
+    """Flip TTA doubles the candidate set and stays geometrically sane."""
+    from demf_tpu.engine.aug_test import aug_test_3d
+    model = build_from_cfg(tiny_votenet_cfg(), DETECTORS)
+    batch = next(iter(loader))
+    batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                 {kk: jnp.asarray(vv) for kk, vv in v.items()})
+             for k, v in batch.items()}
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    det = aug_test_3d(model, variables, batch)
+    single = jax.jit(lambda v, b: model.get_bboxes(
+        model.apply(v, b, train=False), b))(variables, batch)
+    assert det['boxes_3d'].shape[1] == 2 * single['boxes_3d'].shape[1]
+    assert np.isfinite(np.asarray(det['boxes_3d'])).all()
