@@ -70,6 +70,24 @@ def precompute_dataset_features(model, variables, dataset, cache,
             progress_cb(min(start + batch_size, n), n)
 
 
+class CachedFeatureLoader:
+    """Wraps a DataLoader: swaps each batch's images for cached features."""
+
+    def __init__(self, loader, cache):
+        self.loader = loader
+        self.cache = cache
+        self.batch_size = loader.batch_size
+        self.dataset = loader.dataset
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            yield attach_cached_features(batch, self.cache,
+                                         batch['sample_idx'])
+
+
 def attach_cached_features(batch, cache, scene_ids):
     """Add 'img_features' (stacked levels) to a collated batch."""
     import jax.numpy as jnp

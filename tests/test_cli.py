@@ -49,3 +49,20 @@ def test_detr_pretrain_cli(tmp_path):
     logs = [f for f in os.listdir(work_dir) if f.endswith('.log')]
     text = open(os.path.join(work_dir, logs[0])).read()
     assert 'loss_cls' in text and 'loss_iou' in text
+
+
+@pytest.mark.slow
+def test_demf_cached_train_cli(tmp_path):
+    """Full DeMF fusion training through the CLI with the frozen
+    image-feature cache active (precompute pass + cached train steps)."""
+    import train as train_cli
+    cfg = os.path.join(REPO, 'configs/synthetic/demf_tiny.py')
+    work_dir = str(tmp_path / 'demf')
+    train_cli.main([cfg, '--work-dir', work_dir, '--seed', '0',
+                    '--no-validate'])
+    assert os.listdir(os.path.join(work_dir, 'checkpoints'))
+    assert os.listdir(os.path.join(work_dir, 'img_feat_cache'))
+    logs = [f for f in os.listdir(work_dir) if f.endswith('.log')]
+    text = open(os.path.join(work_dir, logs[0])).read()
+    assert 'image-feature cache active' in text
+    assert 'center_loss' in text

@@ -84,6 +84,22 @@ def main(argv=None):
         variables['params'] = params
         logger(f'warm-started from {cfg.load_from}')
 
+    if cfg.get('cached_img_features'):
+        # frozen image branch + deterministic image pipeline => encode each
+        # scene once and train the fusion stage from the cache
+        from demf_tpu.engine.feature_cache import (
+            CachedFeatureLoader, FeatureCache, precompute_dataset_features)
+        cache = FeatureCache(os.path.join(cfg.work_dir, 'img_feat_cache'))
+        base_ds = getattr(dataset, 'dataset', dataset)
+        logger('filling frozen image-feature cache ...')
+        precompute_dataset_features(
+            model, variables, base_ds, cache,
+            batch_size=cfg.data['samples_per_gpu'],
+            max_gt=cfg.get('max_gt', 64),
+            progress_cb=lambda d, n: logger(f'  cache {d}/{n}'))
+        loader = CachedFeatureLoader(loader, cache)
+        logger('image-feature cache active')
+
     max_epochs = cfg.runner['max_epochs']
     lr_cfg = cfg.get('lr_config') or {}
     schedule = step_lr_schedule(
