@@ -88,10 +88,15 @@ def collate_fixed(samples, max_gt=64):
 
 
 class DataLoader:
-    """Minimal epoch iterator with optional background prefetch thread."""
+    """Epoch iterator: thread-pool sample processing + prefetch.
+
+    The mmcv dataloader equivalent (workers_per_gpu -> num_threads): pipeline
+    transforms are numpy/cv2 and release the GIL for their hot parts, so a
+    thread pool scales on real multi-core TPU-VM hosts.
+    """
 
     def __init__(self, dataset, batch_size=16, shuffle=True, max_gt=64,
-                 seed=0, drop_last=True, prefetch=2, num_threads=1):
+                 seed=0, drop_last=True, prefetch=2, num_threads=4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -99,6 +104,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_threads = max(1, num_threads)
         self._epoch = 0
 
     def __len__(self):
@@ -113,39 +119,54 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _fetch(self, pool, sel):
+        if pool is None:
+            samples = [self.dataset[i] for i in sel]
+        else:
+            samples = list(pool.map(self.dataset.__getitem__, sel))
+        return collate_fixed(samples, self.max_gt)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        from concurrent.futures import ThreadPoolExecutor
         idx = self._indices()
         self._epoch += 1
         nb = len(self)
-        if self.prefetch <= 0:
-            for bi in range(nb):
-                sel = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
-                yield collate_fixed([self.dataset[i] for i in sel],
-                                    self.max_gt)
-            return
-
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
+        pool = (ThreadPoolExecutor(self.num_threads)
+                if self.num_threads > 1 else None)
+        try:
+            if self.prefetch <= 0:
                 for bi in range(nb):
-                    sel = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
-                    q.put(collate_fixed([self.dataset[i] for i in sel],
-                                        self.max_gt))
-            finally:
-                q.put(stop)
+                    sel = idx[bi * self.batch_size:
+                              (bi + 1) * self.batch_size]
+                    yield self._fetch(pool, sel)
+                return
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            stop = object()
+
+            def worker():
+                try:
+                    for bi in range(nb):
+                        sel = idx[bi * self.batch_size:
+                                  (bi + 1) * self.batch_size]
+                        q.put(self._fetch(pool, sel))
+                finally:
+                    q.put(stop)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
-def build_dataloader(dataset, samples_per_gpu=16, workers_per_gpu=1,
+def build_dataloader(dataset, samples_per_gpu=16, workers_per_gpu=4,
                      shuffle=True, seed=0, max_gt=64, **kwargs):
     return DataLoader(dataset, batch_size=samples_per_gpu, shuffle=shuffle,
-                      seed=seed, max_gt=max_gt)
+                      seed=seed, max_gt=max_gt,
+                      num_threads=max(1, workers_per_gpu))

@@ -67,6 +67,7 @@ def main(argv=None):
     dataset = build_dataset(cfg.data['train'])
     loader = build_dataloader(
         dataset, samples_per_gpu=cfg.data['samples_per_gpu'],
+        workers_per_gpu=cfg.data.get('workers_per_gpu', 4),
         shuffle=True, seed=args.seed,
         max_gt=cfg.get('max_gt', 64))
 
