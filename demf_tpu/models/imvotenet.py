@@ -119,6 +119,9 @@ class ImVoteNet_Deformdetr(nn.Module):
     # -- forward ----------------------------------------------------------
     @nn.compact
     def __call__(self, batch, train: bool = False, sample_mod=None):
+        return self._forward_impl(batch, train, sample_mod)
+
+    def _forward_impl(self, batch, train: bool = False, sample_mod=None):
         meta = batch['img_meta']
         if 'points' not in batch:  # stage-1 image-only 2D pretrain
             feats = self.extract_img_feat(batch['img'], train)
@@ -270,12 +273,73 @@ class ImVoteNet(ImVoteNet_Deformdetr):
             valid = valid & keep
         return boxes, valid
 
+    @nn.compact
+    def __call__(self, batch, train: bool = False, sample_mod=None):
+        if 'points' in batch:
+            return self._forward_impl(batch, train, sample_mod)
+        # image-only Faster R-CNN training/inference path
+        from .rpn_roi import sample_rcnn_rois
+        feats = self.extract_img_feat(batch['img'], train)
+        rpn = self._rpn_head(name='img_rpn_head')
+        outs = rpn(feats, train)
+        results = {'rpn_outs': outs}
+        meta = batch['img_meta']
+        proposal_cfg = dict((self.train_cfg if train else self.test_cfg)
+                            .get('img_rpn_proposal' if train else 'img_rpn')
+                            or {})
+        proposals, _, p_valid = rpn.get_proposals(
+            outs, meta['img_shape'], proposal_cfg)
+        roi = self._roi_head(name='img_roi_head')
+        if train and 'gt_bboxes' in batch:
+            rng = self.make_rng('sample')
+            results['sample_rng'] = jax.random.fold_in(rng, 99)
+            sampled = sample_rcnn_rois(
+                jax.lax.stop_gradient(proposals), p_valid,
+                batch['gt_bboxes'], batch['gt_labels'],
+                batch['gt_bboxes_valid'],
+                dict((self.train_cfg or {}).get('img_rcnn') or {}),
+                dict(self.img_roi_head['bbox_head']).get('num_classes', 10),
+                rng)
+            cls_logits, bbox_deltas = roi(feats, sampled['rois'],
+                                          sampled['chosen'], train)
+            results.update(rcnn_sampled=sampled, rcnn_cls=cls_logits,
+                           rcnn_deltas=bbox_deltas)
+        else:
+            cls_logits, bbox_deltas = roi(feats, proposals, p_valid,
+                                          train=False)
+            results.update(proposals=proposals, proposal_valid=p_valid,
+                           rcnn_cls=cls_logits, rcnn_deltas=bbox_deltas)
+        return results
+
     def loss(self, results, batch):
-        assert 'img_preds' not in results, (
-            '2D training of the Faster R-CNN branch is not implemented; the '
-            'published workflow loads a pretrained image branch '
-            '(configs/baseline/imvotenet.py load_from)')
+        if 'rpn_outs' in results:  # image-only 2D training
+            from .rpn_roi import rcnn_loss, rpn_loss
+            rpn_cfg = dict(self.img_rpn_head)
+            losses = rpn_loss(
+                results['rpn_outs'], dict(rpn_cfg['anchor_generator']),
+                dict(rpn_cfg['bbox_coder']),
+                batch['gt_bboxes'], batch['gt_bboxes_valid'],
+                dict((self.train_cfg or {}).get('img_rpn') or {}),
+                dict(rpn_cfg['loss_cls']), dict(rpn_cfg['loss_bbox']),
+                results.get('sample_rng', jax.random.PRNGKey(0)))
+            roi_cfg = dict(self.img_roi_head)
+            head_cfg = dict(roi_cfg['bbox_head'])
+            losses.update(rcnn_loss(
+                results['rcnn_cls'], results['rcnn_deltas'],
+                results['rcnn_sampled'], dict(head_cfg['bbox_coder']),
+                head_cfg.get('num_classes', 10),
+                dict(head_cfg['loss_cls']), dict(head_cfg['loss_bbox'])))
+            return losses
         return ImVoteNet_Deformdetr.loss(self, results, batch)
+
+    def get_bboxes(self, results, batch):
+        if 'proposals' in results:  # image-only FRCNN inference
+            roi = self._roi_head()
+            return roi.get_bboxes(
+                results['rcnn_cls'], results['rcnn_deltas'],
+                results['proposals'], results['proposal_valid'],
+                batch['img_meta']['img_shape'])
+        return ImVoteNet_Deformdetr.get_bboxes(self, results, batch)
 
     def frozen_param_patterns(self):
         if not self.freeze_img_branch:

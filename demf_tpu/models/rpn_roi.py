@@ -6,9 +6,10 @@ DeltaXYWHBBoxCoder + SingleRoIExtractor(RoIAlign) + Shared2FCBBoxHead).  In
 the published ImVoteNet workflow this branch is FROZEN and used for
 inference only (2D box extraction from a ported checkpoint,
 configs/baseline/imvotenet.py load_from); the inference path here is
-complete and fixed-shape (padded proposals + validity masks).  RPN/RCNN
-*training* (MaxIoUAssigner/RandomSampler) is not needed for any published
-result and is left to a later round.
+complete and fixed-shape (padded proposals + validity masks), and RPN/RCNN
+*training* is available too (``rpn_loss`` / ``sample_rcnn_rois`` /
+``rcnn_loss`` below, with the MaxIoUAssigner/RandomSampler equivalents in
+``assign_sample.py``).
 """
 from __future__ import annotations
 
@@ -297,3 +298,133 @@ class StandardRoIHead(nn.Module):
             probs, bbox_deltas, proposals, proposal_valid, img_shape)
         return dict(bboxes=jnp.concatenate([boxes, scores[..., None]], -1),
                     labels=labels, valid=valid)
+
+
+def rpn_loss(outs, anchor_cfg, coder_cfg, gt_bboxes, gt_valid, train_cfg,
+             loss_cls_cfg, loss_bbox_cfg, rng):
+    """RPN training losses (mmdet RPNHead.loss, fixed-shape).
+
+    Args:
+        outs: per-level (cls (B,H,W,A), reg (B,H,W,A*4)) from RPNHead.
+        gt_bboxes: (B, G, 4) xyxy; gt_valid: (B, G) bool.
+    Returns:
+        dict(loss_rpn_cls, loss_rpn_bbox).
+    """
+    from ..utils.registry import build_loss
+    from .assign_sample import iou_2d, max_iou_assign, random_sample
+    strides = list(anchor_cfg.get('strides', [4, 8, 16, 32, 64]))
+    scales = list(anchor_cfg.get('scales', [8]))
+    ratios = list(anchor_cfg.get('ratios', [0.5, 1.0, 2.0]))
+    means = coder_cfg.get('target_means', (0., 0., 0., 0.))
+    stds = coder_cfg.get('target_stds', (1., 1., 1., 1.))
+    asn = dict(train_cfg.get('assigner', {}))
+    smp = dict(train_cfg.get('sampler', {}))
+
+    anchors = jnp.concatenate([
+        grid_anchors((c.shape[1], c.shape[2]), s, scales, ratios)
+        for (c, _), s in zip(outs, strides)], 0)             # (A, 4)
+    cls_flat = jnp.concatenate(
+        [c.reshape(c.shape[0], -1) for c, _ in outs], 1)     # (B, A)
+    reg_flat = jnp.concatenate(
+        [r.reshape(r.shape[0], -1, 4) for _, r in outs], 1)  # (B, A, 4)
+
+    def single(cls_b, reg_b, gt_b, val_b, key):
+        ious = iou_2d(anchors, gt_b)
+        assigned = max_iou_assign(
+            ious, val_b, asn.get('pos_iou_thr', 0.7),
+            asn.get('neg_iou_thr', 0.3), asn.get('min_pos_iou', 0.3),
+            asn.get('match_low_quality', True))
+        pos, neg = random_sample(assigned, smp.get('num', 256),
+                                 smp.get('pos_fraction', 0.5), key)
+        labels = pos.astype(jnp.float32)
+        weights = (pos | neg).astype(jnp.float32)
+        gt_for_anchor = jnp.take(gt_b, jnp.maximum(assigned, 0), axis=0)
+        deltas = bbox2delta(anchors, gt_for_anchor, means, stds)
+        return cls_b, reg_b, labels, weights, pos, deltas
+
+    keys = jax.random.split(rng, cls_flat.shape[0])
+    cls_b, reg_b, labels, weights, pos, deltas = jax.vmap(single)(
+        cls_flat, reg_flat, gt_bboxes, gt_valid, keys)
+    avg = jnp.maximum(jnp.sum(weights), 1.0)
+    lc = build_loss(loss_cls_cfg)
+    # sigmoid BCE on objectness
+    p = cls_b
+    bce = jnp.maximum(p, 0) - p * labels + jnp.log1p(jnp.exp(-jnp.abs(p)))
+    loss_rpn_cls = jnp.sum(bce * weights) / avg * \
+        dict(loss_cls_cfg).get('loss_weight', 1.0)
+    lb = build_loss(loss_bbox_cfg)
+    loss_rpn_bbox = lb(reg_b, deltas,
+                       weight=pos.astype(jnp.float32)[..., None],
+                       avg_factor=avg)
+    return dict(loss_rpn_cls=loss_rpn_cls, loss_rpn_bbox=loss_rpn_bbox)
+
+
+def sample_rcnn_rois(proposals, proposal_valid, gt_bboxes, gt_labels,
+                     gt_valid, train_cfg, num_classes, rng):
+    """RCNN assignment + sampling (add_gt_as_proposals=True), fixed-shape.
+
+    Returns dict with sampled rois (B, S, 4), cls labels (B, S) (bg =
+    num_classes), reg targets (B, S, 4, per assigned gt), weights.
+    """
+    from .assign_sample import iou_2d, max_iou_assign, random_sample
+    asn = dict(train_cfg.get('assigner', {}))
+    smp = dict(train_cfg.get('sampler', {}))
+    num = smp.get('num', 512)
+
+    rois_all = jnp.concatenate([proposals, gt_bboxes], 1)     # (B, R+G, 4)
+    valid_all = jnp.concatenate([proposal_valid, gt_valid], 1)
+
+    def single(rois, rvalid, gt_b, lab_b, val_b, key):
+        ious = iou_2d(rois, gt_b)
+        ious = jnp.where(rvalid[:, None], ious, -1.0)
+        assigned = max_iou_assign(
+            ious, val_b, asn.get('pos_iou_thr', 0.5),
+            asn.get('neg_iou_thr', 0.5), asn.get('min_pos_iou', 0.5),
+            asn.get('match_low_quality', False))
+        assigned = jnp.where(rvalid, assigned, -2)
+        pos, neg = random_sample(assigned, num,
+                                 smp.get('pos_fraction', 0.25), key)
+        chosen = pos | neg
+        key2 = jax.random.fold_in(key, 1)
+        sel_key = jnp.where(chosen, 1.0 + jax.random.uniform(
+            key2, chosen.shape), 0.0)
+        _, sel = jax.lax.top_k(sel_key, num)                  # (S,)
+        rois_s = jnp.take(rois, sel, axis=0)
+        pos_s = jnp.take(pos, sel, axis=0)
+        chosen_s = jnp.take(chosen, sel, axis=0)
+        asg_s = jnp.maximum(jnp.take(assigned, sel, axis=0), 0)
+        labels_s = jnp.where(pos_s, jnp.take(lab_b, asg_s, axis=0),
+                             num_classes)
+        gt_s = jnp.take(gt_b, asg_s, axis=0)
+        return rois_s, labels_s, gt_s, pos_s, chosen_s
+
+    keys = jax.random.split(rng, rois_all.shape[0])
+    rois, labels, gts, pos, chosen = jax.vmap(single)(
+        rois_all, valid_all, gt_bboxes, gt_labels, gt_valid, keys)
+    return dict(rois=rois, labels=labels, gt_boxes=gts, pos=pos,
+                chosen=chosen)
+
+
+def rcnn_loss(cls_logits, bbox_deltas, sampled, coder_cfg, num_classes,
+              loss_cls_cfg, loss_bbox_cfg):
+    """RCNN classification + class-specific box regression losses."""
+    from ..utils.registry import build_loss
+    means = coder_cfg.get('target_means', (0., 0., 0., 0.))
+    stds = coder_cfg.get('target_stds', (0.1, 0.1, 0.2, 0.2))
+    labels = sampled['labels']
+    chosen = sampled['chosen'].astype(jnp.float32)
+    pos = sampled['pos']
+    avg = jnp.maximum(jnp.sum(chosen), 1.0)
+    lc = build_loss(loss_cls_cfg)
+    loss_cls = lc(cls_logits, labels, weight=chosen, avg_factor=avg)
+    targets = bbox2delta(sampled['rois'], sampled['gt_boxes'], means, stds)
+    b, s = labels.shape
+    d = bbox_deltas.reshape(b, s, num_classes, 4)
+    cls_idx = jnp.clip(labels, 0, num_classes - 1)
+    d_pos = jnp.take_along_axis(
+        d, cls_idx[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+    lb = build_loss(loss_bbox_cfg)
+    loss_bbox = lb(d_pos, targets,
+                   weight=pos.astype(jnp.float32)[..., None],
+                   avg_factor=avg)
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)

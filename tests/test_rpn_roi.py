@@ -125,3 +125,83 @@ def test_imvotenet_baseline_fusion():
     det = infer(variables, batch)
     assert det['boxes_3d'].shape == (2, 80, 7)
     assert np.isfinite(np.asarray(det['scores_3d'])).all()
+
+
+def test_max_iou_assign_semantics():
+    from demf_tpu.models.assign_sample import max_iou_assign, iou_2d
+    anchors = jnp.asarray([[0, 0, 10, 10], [0, 0, 9, 9], [50, 50, 60, 60],
+                           [100, 100, 101, 101]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10], [52, 52, 58, 58]], jnp.float32)
+    valid = jnp.ones(2, bool)
+    ious = iou_2d(anchors, gt)
+    out = np.asarray(max_iou_assign(ious, valid, 0.7, 0.3, 0.3, True))
+    assert out[0] == 0          # exact match -> gt 0
+    assert out[1] == 0          # high IoU -> gt 0
+    assert out[2] == 1          # low-quality match claims gt 1's best anchor
+    assert out[3] == -1         # background
+
+
+def test_random_sample_counts():
+    from demf_tpu.models.assign_sample import random_sample
+    assigned = jnp.asarray([0] * 10 + [-1] * 100 + [-2] * 20)
+    pos, neg = random_sample(assigned, 32, 0.5, jax.random.PRNGKey(0))
+    pos, neg = np.asarray(pos), np.asarray(neg)
+    assert pos.sum() == 10           # all 10 positives (< 16 cap)
+    assert neg.sum() == 22           # fill to 32
+    assert not (pos & neg).any()
+    assert not pos[110:].any() and not neg[110:].any()  # ignores excluded
+
+
+def test_frcnn_image_only_training():
+    """RPN + RCNN losses through the ImVoteNet image-only path."""
+    from test_detr_imvotenet import img_only_batch
+    cfg = tiny_imvotenet_cfg()
+    # small proposal budget for test speed
+    tc = dict(cfg['train_cfg'])
+    tc['img_rpn_proposal'] = dict(nms_pre=16, max_per_img=16,
+                                  nms=dict(type='nms', iou_threshold=0.7))
+    tc['img_rcnn'] = dict(
+        assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                      neg_iou_thr=0.5, min_pos_iou=0.5,
+                      match_low_quality=False),
+        sampler=dict(type='RandomSampler', num=16, pos_fraction=0.25))
+    tc['img_rpn'] = dict(
+        assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                      neg_iou_thr=0.3, min_pos_iou=0.3,
+                      match_low_quality=True),
+        sampler=dict(type='RandomSampler', num=32, pos_fraction=0.5))
+    cfg['train_cfg'] = tc
+    model = build_from_cfg(cfg, DETECTORS)
+    batch = img_only_batch(np.random.RandomState(5))
+    variables = jax.jit(lambda r, b: model.init(
+        {'params': r, 'sample': jax.random.fold_in(r, 2)}, b,
+        train=True))(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def fwd_loss(variables, batch, rng):
+        results, _ = model.apply(
+            variables, batch, train=True, mutable=['batch_stats'],
+            rngs={'dropout': rng, 'sample': jax.random.fold_in(rng, 3)})
+        return model.loss(results, batch)
+
+    losses = fwd_loss(variables, batch, jax.random.PRNGKey(1))
+    assert {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls',
+            'loss_bbox'} <= set(losses)
+    total = sum(jnp.asarray(v) for v in losses.values())
+    assert np.isfinite(float(total))
+
+    # grads flow into RPN and RoI heads
+    def loss_fn(params):
+        results, _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            batch, train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(0),
+                  'sample': jax.random.PRNGKey(4)})
+        return sum(jnp.sum(v) for v in model.loss(results, batch).values())
+
+    grads = jax.jit(jax.grad(loss_fn))(variables['params'])
+    g_rpn = float(sum(jnp.sum(jnp.abs(x)) for x in
+                      jax.tree_util.tree_leaves(grads['img_rpn_head'])))
+    g_roi = float(sum(jnp.sum(jnp.abs(x)) for x in
+                      jax.tree_util.tree_leaves(grads['img_roi_head'])))
+    assert g_rpn > 0 and g_roi > 0
