@@ -197,3 +197,12 @@ def test_msda_matches_oracle():
         jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w_),
         query_chunk=2, gather_dtype=jnp.float32))
     np.testing.assert_allclose(outc, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_constant_and_gradient_free_zones():
+    from demf_tpu.ops.roi_align import roi_align
+    feat = jnp.full((16, 16, 2), 3.0)
+    rois = jnp.asarray([[0., 0., 8., 8.], [4., 4., 12., 12.]])
+    out = np.asarray(roi_align(feat, rois, output_size=4, spatial_scale=1.0))
+    assert out.shape == (2, 4, 4, 2)
+    np.testing.assert_allclose(out, 3.0, atol=1e-5)
