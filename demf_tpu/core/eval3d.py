@@ -164,7 +164,8 @@ def eval_det_cls(pred_by_scene, gt_by_scene, iou_thresholds):
                 fp[r] = 1
                 continue
             j = int(np.argmax(ious[k]))
-            if ious[k, j] >= thr and not matched[sid][j]:
+            # mmdet3d indoor_eval uses a STRICT > threshold test
+            if ious[k, j] > thr and not matched[sid][j]:
                 matched[sid][j] = True
                 tp[r] = 1
             else:

@@ -206,3 +206,101 @@ def test_roi_align_constant_and_gradient_free_zones():
     out = np.asarray(roi_align(feat, rois, output_size=4, spatial_scale=1.0))
     assert out.shape == (2, 4, 4, 2)
     np.testing.assert_allclose(out, 3.0, atol=1e-5)
+
+
+def _jnp_msda_autodiff(value, shapes, locs, aw):
+    """Plain-jnp MSDA (no custom VJP) used as an autodiff oracle."""
+    import jax
+
+    b, _, heads, hd = value.shape
+    q, p = locs.shape[1], locs.shape[4]
+    out = jnp.zeros((b, q, heads, hd))
+    start = 0
+    for lvl, (h, w) in enumerate(shapes):
+        v = value[:, start:start + h * w].reshape(b, h, w, heads, hd)
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+        x = locs[:, :, :, lvl, :, 0] * w - 0.5
+        y = locs[:, :, :, lvl, :, 1] * h - 0.5
+        x0, y0 = jnp.floor(x), jnp.floor(y)
+        acc = 0.
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi = x0 + dx, y0 + dy
+                wgt = (1 - jnp.abs(x - xi)) * (1 - jnp.abs(y - yi))
+                ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                xi_c = jnp.clip(xi, -1, w).astype(jnp.int32) + 1
+                yi_c = jnp.clip(yi, -1, h).astype(jnp.int32) + 1
+                bi = jnp.arange(b)[:, None, None, None]
+                hi = jnp.arange(heads)[None, None, :, None]
+                g = vp[bi, yi_c, xi_c, hi]
+                acc = acc + jnp.where(ok[..., None], wgt[..., None], 0.) * g
+        out = out + jnp.sum(acc * aw[:, :, :, lvl, :, None], axis=3)
+        start += h * w
+    return out.reshape(b, q, heads * hd)
+
+
+def test_msda_custom_vjp_matches_autodiff():
+    """The quad-fused MSDA custom VJP must equal plain autodiff grads."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    shapes = ((4, 6), (2, 3))
+    total = sum(h * w for h, w in shapes)
+    b, q, heads, hd, p = 2, 7, 2, 4, 3
+    value = jnp.asarray(rng.randn(b, total, heads, hd).astype(np.float32))
+    # keep away from bilinear kinks so both sides are differentiable
+    locs = jnp.asarray(
+        (rng.rand(b, q, heads, len(shapes), p, 2) * 0.8 + 0.1)
+        .astype(np.float32))
+    aw = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
+    aw = jnp.asarray(aw / aw.sum((-1, -2), keepdims=True))
+
+    def l_ref(v, l, w):
+        return jnp.sum(jnp.sin(_jnp_msda_autodiff(v, shapes, l, w)))
+
+    g_ref = jax.grad(l_ref, argnums=(0, 1, 2))(value, locs, aw)
+    for qc in (2048, 2):   # single-chunk and scan paths
+        def l_new(v, l, w):
+            return jnp.sum(jnp.sin(ops.multi_scale_deformable_attention(
+                v, shapes, l, w, query_chunk=qc,
+                gather_dtype=jnp.float32)))
+
+        g_new = jax.grad(l_new, argnums=(0, 1, 2))(value, locs, aw)
+        for a, b_ in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_msda_small_q_path_matches_autodiff():
+    """Decoder-scale routing (Q small vs plane) must stay exact too."""
+    import jax
+
+    rng = np.random.RandomState(12)
+    shapes = ((16, 16), (8, 8))          # sum_HW=320 >> Q*L*P*8
+    total = sum(h * w for h, w in shapes)
+    b, q, heads, hd, p = 2, 3, 2, 4, 2
+    value = jnp.asarray(rng.randn(b, total, heads, hd).astype(np.float32))
+    locs = jnp.asarray(
+        (rng.rand(b, q, heads, len(shapes), p, 2) * 0.8 + 0.1)
+        .astype(np.float32))
+    aw = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
+    aw = jnp.asarray(aw / aw.sum((-1, -2), keepdims=True))
+
+    out = np.asarray(ops.multi_scale_deformable_attention(
+        value, shapes, locs, aw, gather_dtype=jnp.float32))
+    ref = _np_msda(np.asarray(value), shapes, np.asarray(locs),
+                   np.asarray(aw))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def l_ref(v, l, w):
+        return jnp.sum(jnp.sin(_jnp_msda_autodiff(v, shapes, l, w)))
+
+    def l_new(v, l, w):
+        return jnp.sum(jnp.sin(ops.multi_scale_deformable_attention(
+            v, shapes, l, w, gather_dtype=jnp.float32)))
+
+    g_ref = jax.grad(l_ref, argnums=(0, 1, 2))(value, locs, aw)
+    g_new = jax.grad(l_new, argnums=(0, 1, 2))(value, locs, aw)
+    for a, b_ in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
