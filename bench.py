@@ -32,7 +32,7 @@ BASELINE_SCENES_PER_SEC_PER_CHIP = 10.0  # estimated torch/A100 (see above)
 
 
 def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
-         warmup=2):
+         warmup=2, compute_dtype='bfloat16'):
     import jax
     import demf_tpu.models  # noqa: F401
     from demf_tpu.utils.registry import DETECTORS, build_from_cfg
@@ -67,7 +67,7 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
     mesh = make_mesh()
     state = replicate(create_train_state(model, tx, variables), mesh)
     sbatch = shard_batch(batch, mesh)
-    train_step = make_train_step(model, tx)
+    train_step = make_train_step(model, tx, compute_dtype=compute_dtype)
 
     rng = jax.random.PRNGKey(0)
     for i in range(warmup):
@@ -97,4 +97,6 @@ if __name__ == '__main__':
     if '--small' in sys.argv:  # CI / CPU smoke mode
         kwargs = dict(batch_size=2, num_points=1024, hw=(96, 128), iters=2,
                       warmup=1)
+    if '--fp32' in sys.argv:
+        kwargs['compute_dtype'] = None
     main(**kwargs)

@@ -17,7 +17,8 @@ from .trainer import TrainState, make_eval_step
 
 
 def run_dataset_inference(model, state_or_vars, dataset, batch_size=16,
-                          max_gt=64, progress_cb=None) -> List[dict]:
+                          max_gt=64, progress_cb=None,
+                          compute_dtype=None) -> List[dict]:
     """Run inference over a whole dataset, returning per-scene numpy results
     (validity-filtered), in dataset order."""
     if isinstance(state_or_vars, TrainState):
@@ -27,7 +28,7 @@ def run_dataset_inference(model, state_or_vars, dataset, batch_size=16,
         state = TrainState(step=0, params=state_or_vars['params'],
                            batch_stats=state_or_vars.get('batch_stats', {}),
                            opt_state=optax.EmptyState())
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, compute_dtype=compute_dtype)
     n = len(dataset)
     results: List[dict] = []
     for start in range(0, n, batch_size):
@@ -46,9 +47,11 @@ def run_dataset_inference(model, state_or_vars, dataset, batch_size=16,
     return results
 
 
-def make_dataset_eval_fn(model, dataset, batch_size, logger) -> Callable:
+def make_dataset_eval_fn(model, dataset, batch_size, logger,
+                         compute_dtype=None) -> Callable:
     def eval_fn(state, epoch):
-        results = run_dataset_inference(model, state, dataset, batch_size)
+        results = run_dataset_inference(model, state, dataset, batch_size,
+                                        compute_dtype=compute_dtype)
         metrics = dataset.evaluate(results)
         logger(f'[eval @ epoch {epoch + 1}] ' + ' '.join(
             f'{k}: {v:.4f}' for k, v in metrics.items()))

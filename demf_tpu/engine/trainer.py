@@ -41,19 +41,32 @@ def create_train_state(model, tx, variables):
 
 
 def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
-                    donate: bool = True):
+                    donate: bool = True, compute_dtype: Optional[str] = None):
     """Build the jitted train step for a detector following the batch API
     (``model.apply(vars, batch, train=True)`` -> results;
-    ``model.loss(results, batch)`` -> loss dict)."""
+    ``model.loss(results, batch)`` -> loss dict).
+
+    ``compute_dtype='bfloat16'`` enables the mixed-precision policy (N11):
+    fp32 master params, bf16 forward/backward, fp32 losses/targets — see
+    utils/precision.py.
+    """
+    from ..utils.precision import cast_batch, cast_floating
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
+            net_batch = batch
+            if compute_dtype is not None:
+                params = cast_floating(params, compute_dtype)
+                net_batch = cast_batch(batch, compute_dtype)
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
             results, mutated = model.apply(
-                variables, batch, train=True, mutable=['batch_stats'],
+                variables, net_batch, train=True, mutable=['batch_stats'],
                 rngs={'sample': rng, 'dropout': jax.random.fold_in(rng, 1)})
+            if compute_dtype is not None:
+                # fp32 loss island (the @force_fp32 equivalent)
+                results = cast_floating(results, 'float32')
             losses = model.loss(results, batch)
             if loss_reducer is not None:
                 total = loss_reducer(losses)
@@ -75,12 +88,21 @@ def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model):
+def make_eval_step(model, compute_dtype: Optional[str] = None):
+    from ..utils.precision import cast_batch, cast_floating
+
     def eval_step(state: TrainState, batch):
-        variables = {'params': state.params}
+        params = state.params
+        net_batch = batch
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+            net_batch = cast_batch(batch, compute_dtype)
+        variables = {'params': params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
-        results = model.apply(variables, batch, train=False)
+        results = model.apply(variables, net_batch, train=False)
+        if compute_dtype is not None:
+            results = cast_floating(results, 'float32')
         return model.get_bboxes(results, batch)
 
     return jax.jit(eval_step)
@@ -110,7 +132,9 @@ class Runner:
         self.work_dir = work_dir
         self.eval_fn = eval_fn
         self.logger = logger or print
-        self.train_step = make_train_step(model, tx)
+        from ..utils.precision import resolve_compute_dtype
+        self.train_step = make_train_step(
+            model, tx, compute_dtype=resolve_compute_dtype(cfg))
         self.log_interval = cfg.get('log_interval', 50)
         self.ckpt_interval = cfg.get('checkpoint_interval', 1)
         self.eval_interval = cfg.get('eval_interval', 0)

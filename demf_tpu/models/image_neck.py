@@ -37,7 +37,8 @@ class ChannelMapper(nn.Module):
                         padding=pad, use_bias=not use_norm,
                         name=f'convs_{i}')(x)
             if use_norm:
-                y = nn.GroupNorm(num_groups=num_groups, name=f'gn_{i}')(y)
+                y = nn.GroupNorm(num_groups=num_groups,
+                                 name=f'gn_{i}')(y).astype(x.dtype)
             if self.act_cfg is not None:
                 y = nn.relu(y)
             outs.append(y)
@@ -48,7 +49,8 @@ class ChannelMapper(nn.Module):
                         use_bias=not use_norm,
                         name=f'extra_convs_{i}')(src)
             if use_norm:
-                y = nn.GroupNorm(num_groups=num_groups, name=f'extra_gn_{i}')(y)
+                y = nn.GroupNorm(num_groups=num_groups,
+                                 name=f'extra_gn_{i}')(y).astype(src.dtype)
             if self.act_cfg is not None:
                 y = nn.relu(y)
             outs.append(y)

@@ -45,11 +45,12 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = x.dtype   # dtype-preserving: norms promote to f32 internally
         for c in self.channels:
             x = nn.Dense(c, use_bias=self.bias or not self.use_norm)(x)
             if self.use_norm:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5)(x).astype(dt)
             x = nn.relu(x)
         return x
 

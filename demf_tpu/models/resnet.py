@@ -26,8 +26,10 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        bn = lambda name: nn.BatchNorm(use_running_average=use_running_average,
-                                       momentum=0.9, epsilon=1e-5, name=name)
+        dt = x.dtype   # dtype-preserving under the bf16 policy
+        bn = lambda name: (lambda y: nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=0.9, epsilon=1e-5, name=name)(y).astype(dt))
         s1, s2 = (1, self.stride) if self.style == 'pytorch' else \
             (self.stride, 1)
         out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
@@ -76,10 +78,11 @@ class ResNet(nn.Module):
         assert block_type == 'bottleneck', 'basic blocks not needed yet'
         ura = (not train) or self.norm_eval
 
+        dt = x.dtype
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     name='conv1')(x)
         x = nn.BatchNorm(use_running_average=ura, momentum=0.9, epsilon=1e-5,
-                         name='bn1')(x)
+                         name='bn1')(x).astype(dt)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

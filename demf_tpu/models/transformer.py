@@ -207,10 +207,11 @@ class DetrTransformerEncoderLayer(nn.Module):
                 x, x, query_pos=pos, key_padding_mask=key_padding_mask,
                 reference_points=reference_points,
                 spatial_shapes=spatial_shapes, train=train)
-        x = nn.LayerNorm(name='norm1')(x)
+        dt = x.dtype   # dtype-preserving: LN promotes to f32 internally
+        x = nn.LayerNorm(name='norm1')(x).astype(dt)
         x = FFN(self.embed_dims, self.feedforward_channels,
                 self.ffn_dropout, name='ffn')(x, train)
-        x = nn.LayerNorm(name='norm2')(x)
+        x = nn.LayerNorm(name='norm2')(x).astype(dt)
         return x
 
 
@@ -231,7 +232,8 @@ class DetrTransformerDecoderLayer(nn.Module):
         q = MultiheadAttention(self.embed_dims, self.num_heads,
                                self.self_attn_dropout, name='self_attn')(
             query, query_pos=query_pos, train=train)
-        q = nn.LayerNorm(name='norm1')(q)
+        dt = query.dtype
+        q = nn.LayerNorm(name='norm1')(q).astype(dt)
         q = MultiScaleDeformableAttention(
             embed_dims=self.embed_dims, num_heads=self.num_heads,
             num_levels=self.num_levels, num_points=self.num_points,
@@ -240,10 +242,10 @@ class DetrTransformerDecoderLayer(nn.Module):
                 key_padding_mask=key_padding_mask,
                 reference_points=reference_points,
                 spatial_shapes=spatial_shapes, train=train)
-        q = nn.LayerNorm(name='norm2')(q)
+        q = nn.LayerNorm(name='norm2')(q).astype(dt)
         q = FFN(self.embed_dims, self.feedforward_channels,
                 self.ffn_dropout, name='ffn')(q, train)
-        q = nn.LayerNorm(name='norm3')(q)
+        q = nn.LayerNorm(name='norm3')(q).astype(dt)
         return q
 
 
@@ -391,7 +393,7 @@ class PositionEmbeddingLearned(nn.Module):
     def __call__(self, xyz, train: bool = False):
         x = nn.Dense(self.num_pos_feats, name='fc1')(xyz)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='bn')(x)
+                         epsilon=1e-5, name='bn')(x).astype(xyz.dtype)
         x = nn.relu(x)
         return nn.Dense(self.num_pos_feats, name='fc2')(x)
 

@@ -54,10 +54,13 @@ def main(argv=None):
                 cfg.data['samples_per_gpu']:
             print(f'[{done}/{total}]', flush=True)
 
+    from demf_tpu.utils.precision import resolve_compute_dtype
     results = run_dataset_inference(
         model, variables, dataset,
         batch_size=cfg.data['samples_per_gpu'],
-        max_gt=cfg.get('max_gt', 64), progress_cb=progress)
+        max_gt=cfg.get('max_gt', 64), progress_cb=progress,
+        # reference wrap_fp16_model surface (eval.py:84-86) -> bf16 policy
+        compute_dtype=resolve_compute_dtype(cfg))
 
     if args.out:
         with open(args.out, 'wb') as f:

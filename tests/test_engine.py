@@ -146,3 +146,51 @@ def test_aug_test_flip_ensemble(loader):
         model.apply(v, b, train=False), b))(variables, batch)
     assert det['boxes_3d'].shape[1] == 2 * single['boxes_3d'].shape[1]
     assert np.isfinite(np.asarray(det['boxes_3d'])).all()
+
+
+def test_bf16_policy_train_step():
+    """bf16 mixed-precision policy (N11): finite loss close to the f32
+    step, fp32 grads, fp32 batch_stats, unchanged master params dtype."""
+    from demf_tpu.zoo import synth_demf_batch, tiny_demf_model_cfg
+
+    model = build_from_cfg(tiny_demf_model_cfg(), DETECTORS)
+    batch = synth_demf_batch(b=2, p=128, g=8, hw=(64, 96),
+                             valid_hw=(60, 88))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    tx = build_optimizer(dict(type='AdamW', lr=1e-3), variables['params'])
+
+    losses = {}
+    for name, dt in (('f32', None), ('bf16', 'bfloat16')):
+        state = create_train_state(model, tx, variables)
+        step = make_train_step(model, tx, compute_dtype=dt, donate=False)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses[name] = float(metrics['loss'])
+        assert np.isfinite(losses[name])
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(l.dtype == jnp.float32 for l in leaves
+                   if jnp.issubdtype(l.dtype, jnp.inexact))
+        stats = jax.tree_util.tree_leaves(new_state.batch_stats)
+        assert all(l.dtype == jnp.float32 for l in stats)
+    # bf16 rounding can flip chamfer argmin assignments on a random-init
+    # model, so the loss only has to stay in the same ballpark here; the
+    # real quality guard is the overfit-convergence check
+    assert abs(losses['bf16'] - losses['f32']) / abs(losses['f32']) < 0.2, \
+        losses
+
+
+def test_bf16_policy_eval_step():
+    from demf_tpu.zoo import synth_demf_batch, tiny_demf_model_cfg
+
+    model = build_from_cfg(tiny_demf_model_cfg(), DETECTORS)
+    batch = synth_demf_batch(b=2, p=128, g=8, hw=(64, 96),
+                             valid_hw=(60, 88))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = create_train_state(
+        model, build_optimizer(dict(type='AdamW', lr=1e-3),
+                               variables['params']), variables)
+    det32 = make_eval_step(model)(state, batch)
+    det16 = make_eval_step(model, compute_dtype='bfloat16')(state, batch)
+    assert det16['boxes_3d'].dtype == det32['boxes_3d'].dtype
+    # same top-score box class/validity plumbing survives the cast
+    assert det16['boxes_3d'].shape == det32['boxes_3d'].shape
+    assert bool(np.isfinite(np.asarray(det16['scores_3d'])).all())

@@ -139,7 +139,9 @@ def main(argv=None):
         eval_interval=cfg.get('evaluation', {}).get('interval', 0)
         if not args.no_validate else 0,
         max_epochs=max_epochs,
-        seed=args.seed)
+        seed=args.seed,
+        # reference fp16 surface (eval.py:84-86) -> bf16 policy on TPU
+        fp16=cfg.get('fp16'), bf16=cfg.get('bf16'))
     runner = Runner(model, tx, variables, loader, runner_cfg,
                     work_dir=cfg.work_dir, eval_fn=eval_fn, logger=logger)
     if args.resume_from:
