@@ -39,7 +39,22 @@ class SUNRGBDDataset:
         self.filter_empty_gt = filter_empty_gt
         with open(ann_file, 'rb') as f:
             self.infos = pickle.load(f)
+        if filter_empty_gt and not test_mode:
+            # mmdet3d Custom3DDataset drops annotation-less scenes during
+            # training (reference configs/_base_/datasets/
+            # sunrgbd-3d-10class.py:62 filter_empty_gt default True)
+            self.infos = [info for info in self.infos
+                          if self._num_valid_gt(info) > 0]
         self.pipeline = Compose(pipeline) if pipeline else None
+
+    def _num_valid_gt(self, info):
+        annos = info.get('annos', {})
+        n = int(annos.get('gt_num', len(annos.get('name', []))))
+        if n == 0:
+            return 0
+        if 'class' in annos:
+            return n
+        return sum(1 for nm in annos['name'] if nm in self.CLASSES)
 
     def __len__(self):
         return len(self.infos)

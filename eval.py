@@ -66,6 +66,13 @@ def main(argv=None):
         with open(args.out, 'wb') as f:
             pickle.dump(results, f)
         print(f'results written to {args.out}')
+    if args.show or args.show_dir:
+        # reference --show/--show-dir surface (demf/engine/default.py:
+        # 134-140); headless hosts always save .obj dumps
+        from demf_tpu.engine.visualize import show_dataset_results
+        out_dir = args.show_dir or 'show_results'
+        show_dataset_results(dataset, results, out_dir)
+        print(f'visualizations written to {out_dir}')
     if args.format_only:
         return
     if args.eval:
