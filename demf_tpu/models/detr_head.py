@@ -7,10 +7,11 @@ MSDA encoder + 6-layer decoder (shared prediction branches, no two-stage /
 box refine), focal classification, L1 + GIoU box losses over every decoder
 layer, Hungarian assignment.
 
-Fixed shapes throughout: GT is padded to MAX_GT with a validity mask; the
-Hungarian solve runs through ``jax.pure_callback`` into scipy on host per
-step (pretrain-only; a device-side auction solver is the upgrade path —
-the reference itself syncs to host per image via scipy, SURVEY.md §3.5).
+Fixed shapes throughout: GT is padded to MAX_GT with a validity mask.  The
+Hungarian solve runs ON DEVICE by default (ops/assignment.py epsilon-scaled
+auction — no per-step host round-trip, unlike the reference which syncs to
+host per image via scipy, SURVEY.md §3.5); ``assigner.solver='scipy'``
+selects the bit-exact ``jax.pure_callback`` host path for parity checks.
 """
 from __future__ import annotations
 
@@ -231,6 +232,7 @@ class DeformableDETRHead(nn.Module):
         cls_w = dict(assigner.get('cls_cost', {})).get('weight', 1.0)
         reg_w = dict(assigner.get('reg_cost', {})).get('weight', 1.0)
         iou_w = dict(assigner.get('iou_cost', {})).get('weight', 1.0)
+        solver = assigner.get('solver', 'auction')
 
         factor = jnp.stack([img_shape[:, 1], img_shape[:, 0],
                             img_shape[:, 1], img_shape[:, 0]],
@@ -245,14 +247,14 @@ class DeformableDETRHead(nn.Module):
             bbox = preds['bbox_preds'][layer]                 # (B, Q, 4) n.
             l = self._loss_single(cls, bbox, gt_norm_cxcywh, gt_labels,
                                   gt_valid, factor,
-                                  (cls_w, reg_w, iou_w))
+                                  (cls_w, reg_w, iou_w), solver)
             suffix = '' if layer == num_layers - 1 else f'.d{layer}'
             for k, v in l.items():
                 losses[f'{k}{suffix}'] = v
         return losses
 
     def _loss_single(self, cls, bbox, gt_norm_cxcywh, gt_labels, gt_valid,
-                     factor, cost_weights):
+                     factor, cost_weights, solver='auction'):
         cls_w, reg_w, iou_w = cost_weights
         b, q, c = cls.shape
         g = gt_labels.shape[1]
@@ -274,7 +276,12 @@ class DeformableDETRHead(nn.Module):
 
         cost = jax.vmap(sample_cost)(cls, bbox, gt_norm_cxcywh, gt_labels,
                                      gt_valid, factor)
-        assigned_q = hungarian_match(jax.lax.stop_gradient(cost))  # (B, G)
+        if solver == 'auction':
+            from ..ops.assignment import auction_match
+            match = auction_match
+        else:
+            match = hungarian_match
+        assigned_q = match(jax.lax.stop_gradient(cost))       # (B, G)
 
         # scatter gt onto queries
         labels = jnp.full((b, q), self.num_classes, jnp.int32)  # bg
