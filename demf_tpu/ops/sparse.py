@@ -1,0 +1,246 @@
+"""TPU-native sparse 3D convolution (voxel-hash gather/matmul form).
+
+Replaces MinkowskiEngine's sparse conv stack used by the reference's
+DeMF-FCAF3D branch (SURVEY.md §2b N12, reference README.md:55-58 — the
+``DeMF_fcaf`` branch's HDResNet34 backbone).  MinkowskiEngine builds CPU
+hash-map "kernel maps"; here everything is dense XLA primitives with
+static shapes, so the whole backbone jits into one program:
+
+  * coordinates live in a fixed-capacity table ``(M, 3) int32`` with a
+    validity mask (padding rows hold a sentinel);
+  * neighbor lookup = binary search (``searchsorted``) of linearized
+    coordinates in a sorted key table — O(M K log M) vectorized compares,
+    no host hashing;
+  * convolution = per-offset row gather + one einsum over the kernel
+    taps — the FLOPs land on the MXU as (M, K*C) x (K*C, Co) matmuls;
+  * stride-2 downsampling produces unique coarse coordinates via
+    sort + adjacent-compare (fixed output capacity), matching
+    MinkowskiConvolution(kernel=2, stride=2) semantics;
+  * transposed stride-2 conv targets a KNOWN fine coordinate set (the
+    encoder skip's table), as FCAF3D's decoder does.
+
+Convention: coordinates are non-negative voxel indices (shift by the
+point-cloud range before voxelizing).  ``INVALID`` marks padding rows.
+Keys are packed into int32 (x64 stays disabled): per-axis span 1290
+(1290^3 < 2^31), supporting grids up to ~1250 voxels per axis with
+conv-tap excursions of +/-16 — FCAF3D's finest SUN RGB-D grid is 640.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SPAN = 1290                       # per-axis key span; _SPAN**3 < 2**31
+_SHIFT = 16                        # headroom for negative tap queries
+INVALID = jnp.int32(_SPAN - _SHIFT - 1)   # sentinel coordinate (=1273)
+MAX_COORD = int(_SPAN - _SHIFT - 2)       # largest real coordinate
+
+
+def linearize(coords):
+    """(..., 3) int coords in [-16, 1273] -> unique int32 keys."""
+    c = coords.astype(jnp.int32) + _SHIFT
+    return (c[..., 0] * _SPAN + c[..., 1]) * _SPAN + c[..., 2]
+
+
+def voxelize(points, features, voxel_size, pc_start, max_voxels):
+    """Points -> mean-pooled voxel table (fixed capacity).
+
+    Args:
+        points: (N, 3) float xyz.
+        features: (N, C) per-point features to mean-pool per voxel.
+        voxel_size: float or (3,) — voxel edge length.
+        pc_start: (3,) lower corner of the point-cloud range.
+        max_voxels: static output capacity M.
+    Returns:
+        coords (M, 3) int32 (INVALID padded), feats (M, C), valid (M,).
+    """
+    n = points.shape[0]
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    coords = jnp.floor((points - jnp.asarray(pc_start)) / vs).astype(
+        jnp.int32)
+    coords = jnp.clip(coords, 0, MAX_COORD)
+    keys = linearize(coords)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    sfeat = features[order]
+    scoord = coords[order]
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    # segment ids: one per unique voxel, in sorted order
+    seg = jnp.cumsum(heads) - 1                            # (N,)
+    m = max_voxels
+    feat_sum = jax.ops.segment_sum(sfeat, seg, num_segments=m)
+    cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg,
+                              num_segments=m)
+    first = jnp.full((m,), n, jnp.int32).at[seg].min(
+        jnp.arange(n, dtype=jnp.int32))
+    valid = cnt > 0
+    coords_out = jnp.where(
+        valid[:, None], scoord[jnp.clip(first, 0, n - 1)], INVALID)
+    feats_out = feat_sum / jnp.maximum(cnt[:, None], 1.0)
+    return coords_out, feats_out, valid
+
+
+def build_key_table(coords, valid):
+    """Sorted key table for neighbor lookups: (skeys, row_of_rank)."""
+    keys = jnp.where(valid, linearize(coords), jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(keys)
+    return keys[order], order.astype(jnp.int32)
+
+
+def lookup(skeys, order, query_coords, query_valid):
+    """Find rows of ``query_coords`` in the table; -1 when absent."""
+    # clamp into the packable range; clamped queries cannot alias a real
+    # key (real per-axis fields never reach the clamp bound)
+    qkeys = linearize(jnp.clip(query_coords, -_SHIFT, int(INVALID)))
+    pos = jnp.searchsorted(skeys, qkeys)
+    pos = jnp.clip(pos, 0, skeys.shape[0] - 1)
+    hit = (skeys[pos] == qkeys) & query_valid
+    return jnp.where(hit, order[pos], -1)
+
+
+def kernel_offsets(kernel_size):
+    """(K, 3) int32 offsets for a cubic kernel, centered (odd k) or
+    forward (even k, Minkowski convention: taps at 0..k-1)."""
+    k = kernel_size
+    r = jnp.arange(k) - (k - 1) // 2 if k % 2 == 1 else jnp.arange(k)
+    zz, yy, xx = jnp.meshgrid(r, r, r, indexing='ij')
+    return jnp.stack([zz.reshape(-1), yy.reshape(-1), xx.reshape(-1)],
+                     -1).astype(jnp.int32)
+
+
+def neighbor_table(in_coords, in_valid, out_coords, out_valid, offsets,
+                   in_stride=1):
+    """(M_out, K) row indices into the input table (-1 = no neighbor).
+
+    ``out_coords`` are in input-resolution units; each output voxel's
+    tap t looks up ``out_coords + offsets[t] * in_stride``.
+    """
+    skeys, order = build_key_table(in_coords, in_valid)
+
+    def per_offset(off):
+        q = out_coords + off[None, :] * in_stride
+        return lookup(skeys, order, q, out_valid)
+
+    return jax.vmap(per_offset)(offsets).T          # (M_out, K)
+
+
+def sparse_conv_apply(feats, nbr, weights, bias=None):
+    """Gather-matmul sparse convolution.
+
+    Args:
+        feats: (M_in, C) input features (padding rows must be zero).
+        nbr: (M_out, K) neighbor rows, -1 = absent (zero contribution).
+        weights: (K, C, Co) per-tap kernels.
+    Returns:
+        (M_out, Co).
+    """
+    m_out, k = nbr.shape
+    c = feats.shape[1]
+    safe = jnp.clip(nbr, 0, feats.shape[0] - 1)
+    gathered = feats[safe.reshape(-1)].reshape(m_out, k, c)
+    gathered = jnp.where((nbr >= 0)[..., None], gathered, 0.0)
+    out = jnp.einsum('mkc,kco->mo', gathered,
+                     weights.astype(gathered.dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def submanifold_conv(coords, valid, feats, weights, bias=None,
+                     kernel_size=3):
+    """MinkowskiConvolution(stride=1) on the same coordinate set."""
+    offs = kernel_offsets(kernel_size)
+    nbr = neighbor_table(coords, valid, coords, valid, offs)
+    out = sparse_conv_apply(feats, nbr, weights, bias)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def downsample_coords(coords, valid, stride, max_out):
+    """Unique ``coords // stride * stride`` (coarse set at fine units).
+
+    Matches Minkowski stride-s conv output coordinates (tensor stride
+    bookkeeping: coarse coords stay expressed in fine-grid units).
+    """
+    coarse = jnp.where(valid[:, None], coords // stride * stride, INVALID)
+    keys = linearize(coarse)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    sc = coarse[order]
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+    seg = jnp.cumsum(heads) - 1
+    n = coords.shape[0]
+    first = jnp.full((max_out,), n, jnp.int32).at[seg].min(
+        jnp.arange(n, dtype=jnp.int32))
+    out_valid = first < n
+    svalid = valid[order]
+    out_valid = out_valid & svalid[jnp.clip(first, 0, n - 1)]
+    out_coords = jnp.where(out_valid[:, None],
+                           sc[jnp.clip(first, 0, n - 1)], INVALID)
+    return out_coords, out_valid
+
+
+def strided_conv(coords, valid, feats, weights, bias=None, stride=2,
+                 kernel_size=2, max_out=None):
+    """MinkowskiConvolution(kernel=2, stride=2) downsampling conv.
+
+    Returns (out_coords, out_valid, out_feats); out_coords in fine units.
+    """
+    max_out = max_out or coords.shape[0]
+    out_coords, out_valid = downsample_coords(coords, valid, stride,
+                                              max_out)
+    offs = kernel_offsets(kernel_size)     # forward taps 0..k-1
+    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs)
+    out = sparse_conv_apply(feats, nbr, weights, bias)
+    return out_coords, out_valid, jnp.where(out_valid[:, None], out, 0.0)
+
+
+def transposed_conv_to(coords_fine, valid_fine, coords_coarse,
+                       valid_coarse, feats_coarse, weights, bias=None,
+                       stride=2, kernel_size=2):
+    """MinkowskiConvolutionTranspose(kernel=2, stride=2) onto a KNOWN
+    fine coordinate set (the encoder skip's table), as FCAF3D's decoder
+    upsampling does.
+
+    weights: (K, C, Co) with taps indexed like the forward conv; fine
+    voxel f gathers from coarse voxel (f // stride * stride) when
+    f == coarse + offsets[t] * (stride // kernel... ) — for k=2/s=2 each
+    fine voxel has exactly one parent and one matching tap.
+    """
+    # parent coarse coordinate of each fine voxel
+    parent = coords_fine // stride * stride
+    skeys, order = build_key_table(coords_coarse, valid_coarse)
+    prow = lookup(skeys, order, parent, valid_fine)          # (M_f,)
+    # which tap: fine = parent + off  ->  off = fine - parent in {0,1}^3
+    off = coords_fine - parent                                # (M_f, 3)
+    k = kernel_size
+    tap = (off[:, 0] * k + off[:, 1]) * k + off[:, 2]         # (M_f,)
+    safe = jnp.clip(prow, 0, feats_coarse.shape[0] - 1)
+    gathered = feats_coarse[safe]                             # (M_f, C)
+    gathered = jnp.where((prow >= 0)[:, None], gathered, 0.0)
+    w = weights[jnp.clip(tap, 0, k ** 3 - 1)]                 # (M_f, C, Co)
+    out = jnp.einsum('mc,mco->mo', gathered, w.astype(gathered.dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return jnp.where(valid_fine[:, None], out, 0.0)
+
+
+def global_max_pool(feats, valid):
+    return jnp.max(jnp.where(valid[:, None], feats, -jnp.inf), 0)
+
+
+def sparse_max_pool(coords, valid, feats, stride=2, kernel_size=2,
+                    max_out=None):
+    """MinkowskiMaxPooling(kernel=2, stride=2)."""
+    max_out = max_out or coords.shape[0]
+    out_coords, out_valid = downsample_coords(coords, valid, stride,
+                                              max_out)
+    offs = kernel_offsets(kernel_size)
+    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs)
+    safe = jnp.clip(nbr, 0, feats.shape[0] - 1)
+    g = feats[safe.reshape(-1)].reshape(nbr.shape + (feats.shape[1],))
+    g = jnp.where((nbr >= 0)[..., None], g, -jnp.inf)
+    out = jnp.max(g, axis=1)
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return out_coords, out_valid, jnp.where(out_valid[:, None], out, 0.0)

@@ -1,0 +1,174 @@
+"""Oracle tests: sparse conv ops vs dense numpy 3D convolution.
+
+The sparse path (ops/sparse.py) must agree with an explicit dense-grid
+convolution wherever voxels exist — the same contract MinkowskiEngine
+documents for its kernel maps (reference DeMF_fcaf branch backbone,
+SURVEY.md §2b N12).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from demf_tpu.ops import sparse as S
+
+
+def _random_voxels(rng, n_occ, grid=8, c=4, cap=64):
+    """Random occupied voxel set on a small dense grid."""
+    lin = rng.choice(grid ** 3, n_occ, replace=False)
+    coords = np.stack([lin // (grid * grid), (lin // grid) % grid,
+                       lin % grid], -1).astype(np.int32)
+    feats = rng.randn(n_occ, c).astype(np.float32)
+    # pad to capacity
+    coords_p = np.full((cap, 3), int(S.INVALID), np.int32)
+    feats_p = np.zeros((cap, c), np.float32)
+    valid = np.zeros((cap,), bool)
+    coords_p[:n_occ] = coords
+    feats_p[:n_occ] = feats
+    valid[:n_occ] = True
+    dense = np.zeros((grid, grid, grid, c), np.float32)
+    dense[coords[:, 0], coords[:, 1], coords[:, 2]] = feats
+    occ = np.zeros((grid, grid, grid), bool)
+    occ[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+    return coords_p, feats_p, valid, dense, occ
+
+
+def _dense_conv(dense, occ, w, kernel_size, out_mask):
+    """Dense 3D conv restricted to occupied inputs, evaluated on
+    ``out_mask`` sites.  w: (K, C, Co) in S.kernel_offsets order."""
+    grid = dense.shape[0]
+    c, co = w.shape[1], w.shape[2]
+    offs = np.asarray(S.kernel_offsets(kernel_size))
+    out = np.zeros((grid, grid, grid, co), np.float32)
+    for z in range(grid):
+        for y in range(grid):
+            for x in range(grid):
+                if not out_mask[z, y, x]:
+                    continue
+                acc = np.zeros(co, np.float32)
+                for t, (dz, dy, dx) in enumerate(offs):
+                    zz, yy, xx = z + dz, y + dy, x + dx
+                    if 0 <= zz < grid and 0 <= yy < grid and \
+                            0 <= xx < grid and occ[zz, yy, xx]:
+                        acc += dense[zz, yy, xx] @ w[t]
+                out[z, y, x] = acc
+    return out
+
+
+def test_submanifold_conv_oracle():
+    rng = np.random.RandomState(0)
+    coords, feats, valid, dense, occ = _random_voxels(rng, 40)
+    w = rng.randn(27, 4, 6).astype(np.float32) * 0.3
+    out = np.asarray(jax.jit(S.submanifold_conv)(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(feats),
+        jnp.asarray(w)))
+    ref = _dense_conv(dense, occ, w, 3, occ)
+    for i in range(40):
+        z, y, x = coords[i]
+        np.testing.assert_allclose(out[i], ref[z, y, x], atol=1e-4)
+    assert (out[40:] == 0).all()
+
+
+def test_strided_conv_oracle():
+    rng = np.random.RandomState(1)
+    coords, feats, valid, dense, occ = _random_voxels(rng, 50)
+    w = rng.randn(8, 4, 5).astype(np.float32) * 0.3
+    oc, ov, out = jax.jit(S.strided_conv, static_argnames=('max_out',))(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(feats),
+        jnp.asarray(w), max_out=64)
+    oc, ov, out = np.asarray(oc), np.asarray(ov), np.asarray(out)
+    # output coordinate set = unique even-floored coords
+    want = {tuple(c // 2 * 2) for c in coords[:50]}
+    got = {tuple(c) for c in oc[ov]}
+    assert got == want
+    # dense oracle evaluated at the coarse sites
+    out_mask = np.zeros_like(occ)
+    for (z, y, x) in want:
+        out_mask[z, y, x] = True
+    ref = _dense_conv(dense, occ, w, 2, out_mask)
+    for i in np.where(ov)[0]:
+        z, y, x = oc[i]
+        np.testing.assert_allclose(out[i], ref[z, y, x], atol=1e-4)
+
+
+def test_max_pool_oracle():
+    rng = np.random.RandomState(2)
+    coords, feats, valid, dense, occ = _random_voxels(rng, 30)
+    oc, ov, out = jax.jit(S.sparse_max_pool, static_argnames=('max_out',))(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(feats),
+        max_out=64)
+    oc, ov, out = np.asarray(oc), np.asarray(ov), np.asarray(out)
+    for i in np.where(ov)[0]:
+        z, y, x = oc[i]
+        window = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    zz, yy, xx = z + dz, y + dy, x + dx
+                    if zz < 8 and yy < 8 and xx < 8 and occ[zz, yy, xx]:
+                        window.append(dense[zz, yy, xx])
+        ref = np.max(window, 0)
+        np.testing.assert_allclose(out[i], ref, atol=1e-5)
+
+
+def test_transposed_conv_oracle():
+    rng = np.random.RandomState(3)
+    coords, feats, valid, dense, occ = _random_voxels(rng, 40)
+    # coarse level from a strided conv
+    wdown = rng.randn(8, 4, 5).astype(np.float32) * 0.3
+    cc, cv, cf = jax.jit(S.strided_conv, static_argnames=('max_out',))(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(feats),
+        jnp.asarray(wdown), max_out=64)
+    wup = rng.randn(8, 5, 3).astype(np.float32) * 0.3
+    up = np.asarray(jax.jit(S.transposed_conv_to)(
+        jnp.asarray(coords), jnp.asarray(valid), cc, cv, cf,
+        jnp.asarray(wup)))
+    cc, cv, cf = np.asarray(cc), np.asarray(cv), np.asarray(cf)
+    coarse_map = {tuple(cc[i]): cf[i] for i in np.where(cv)[0]}
+    offs = np.asarray(S.kernel_offsets(2))
+    for i in range(40):
+        z, y, x = coords[i]
+        parent = (z // 2 * 2, y // 2 * 2, x // 2 * 2)
+        off = (z - parent[0], y - parent[1], x - parent[2])
+        tap = (off[0] * 2 + off[1]) * 2 + off[2]
+        ref = coarse_map[parent] @ wup[tap] \
+            if parent in coarse_map else np.zeros(3)
+        np.testing.assert_allclose(up[i], ref, atol=1e-4)
+
+
+def test_voxelize_mean_pool():
+    rng = np.random.RandomState(4)
+    pts = rng.rand(500, 3).astype(np.float32) * 2 - 1     # [-1, 1)
+    feats = rng.randn(500, 6).astype(np.float32)
+    coords, vfeats, valid = jax.jit(
+        S.voxelize, static_argnames=('max_voxels',))(
+        jnp.asarray(pts), jnp.asarray(feats), 0.25,
+        jnp.asarray([-1., -1., -1.]), max_voxels=512)
+    coords, vfeats, valid = (np.asarray(coords), np.asarray(vfeats),
+                             np.asarray(valid))
+    ref_coords = np.floor((pts + 1) / 0.25).astype(np.int32)
+    # every input voxel appears exactly once with the mean feature
+    want = {}
+    for i in range(500):
+        want.setdefault(tuple(ref_coords[i]), []).append(feats[i])
+    got = {tuple(coords[i]): vfeats[i] for i in np.where(valid)[0]}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], np.mean(v, 0), atol=1e-5)
+
+
+def test_gradients_flow():
+    """Sparse conv must be differentiable wrt features and weights."""
+    rng = np.random.RandomState(5)
+    coords, feats, valid, _, _ = _random_voxels(rng, 20)
+    w = rng.randn(27, 4, 4).astype(np.float32) * 0.3
+
+    def loss(feats, w):
+        out = S.submanifold_conv(jnp.asarray(coords), jnp.asarray(valid),
+                                 feats, w)
+        return jnp.sum(out ** 2)
+
+    gf, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(feats),
+                                            jnp.asarray(w))
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).sum()) > 0 and float(jnp.abs(gw).sum()) > 0
