@@ -128,6 +128,12 @@ def neighbor_table(in_coords, in_valid, out_coords, out_valid, offsets,
 def sparse_conv_apply(feats, nbr, weights, bias=None):
     """Gather-matmul sparse convolution.
 
+    Memory-bounded formulation: a ``lax.scan`` over the K kernel taps,
+    each iteration one (M, C) row gather + one MXU matmul with that
+    tap's (C, Co) kernel — peak extra memory is one (M, C) buffer
+    instead of the (M, K, C) tensor a single einsum would materialize
+    (227 MB/sample at FCAF3D scale: M=32k, K=27, C=64, fp32).
+
     Args:
         feats: (M_in, C) input features (padding rows must be zero).
         nbr: (M_out, K) neighbor rows, -1 = absent (zero contribution).
@@ -135,23 +141,32 @@ def sparse_conv_apply(feats, nbr, weights, bias=None):
     Returns:
         (M_out, Co).
     """
-    m_out, k = nbr.shape
-    c = feats.shape[1]
-    safe = jnp.clip(nbr, 0, feats.shape[0] - 1)
-    gathered = feats[safe.reshape(-1)].reshape(m_out, k, c)
-    gathered = jnp.where((nbr >= 0)[..., None], gathered, 0.0)
-    out = jnp.einsum('mkc,kco->mo', gathered,
-                     weights.astype(gathered.dtype))
+    m_in = feats.shape[0]
+
+    def tap(acc, inp):
+        nbr_k, w_k = inp
+        g = feats[jnp.clip(nbr_k, 0, m_in - 1)]
+        g = jnp.where((nbr_k >= 0)[:, None], g, 0.0)
+        return acc + g @ w_k.astype(g.dtype), None
+
+    out0 = jnp.zeros((nbr.shape[0], weights.shape[2]), feats.dtype)
+    out, _ = jax.lax.scan(tap, out0, (nbr.T, weights))
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
 
 
 def submanifold_conv(coords, valid, feats, weights, bias=None,
-                     kernel_size=3):
-    """MinkowskiConvolution(stride=1) on the same coordinate set."""
+                     kernel_size=3, tensor_stride=1):
+    """MinkowskiConvolution(stride=1) on the same coordinate set.
+
+    ``tensor_stride``: the level's coordinate granularity (coords are
+    multiples of it after s stride-2 downsamplings); kernel taps step by
+    it, exactly like Minkowski tensor-stride bookkeeping.
+    """
     offs = kernel_offsets(kernel_size)
-    nbr = neighbor_table(coords, valid, coords, valid, offs)
+    nbr = neighbor_table(coords, valid, coords, valid, offs,
+                         in_stride=tensor_stride)
     out = sparse_conv_apply(feats, nbr, weights, bias)
     return jnp.where(valid[:, None], out, 0.0)
 
@@ -182,38 +197,42 @@ def downsample_coords(coords, valid, stride, max_out):
 
 
 def strided_conv(coords, valid, feats, weights, bias=None, stride=2,
-                 kernel_size=2, max_out=None):
+                 kernel_size=2, max_out=None, tensor_stride=1):
     """MinkowskiConvolution(kernel=2, stride=2) downsampling conv.
 
-    Returns (out_coords, out_valid, out_feats); out_coords in fine units.
+    ``tensor_stride`` is the INPUT level's granularity; the output level
+    has granularity ``tensor_stride * stride`` (coords stay in finest
+    units).  Returns (out_coords, out_valid, out_feats).
     """
     max_out = max_out or coords.shape[0]
-    out_coords, out_valid = downsample_coords(coords, valid, stride,
-                                              max_out)
+    out_coords, out_valid = downsample_coords(
+        coords, valid, stride * tensor_stride, max_out)
     offs = kernel_offsets(kernel_size)     # forward taps 0..k-1
-    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs)
+    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs,
+                         in_stride=tensor_stride)
     out = sparse_conv_apply(feats, nbr, weights, bias)
     return out_coords, out_valid, jnp.where(out_valid[:, None], out, 0.0)
 
 
 def transposed_conv_to(coords_fine, valid_fine, coords_coarse,
                        valid_coarse, feats_coarse, weights, bias=None,
-                       stride=2, kernel_size=2):
+                       stride=2, kernel_size=2, tensor_stride=1):
     """MinkowskiConvolutionTranspose(kernel=2, stride=2) onto a KNOWN
     fine coordinate set (the encoder skip's table), as FCAF3D's decoder
     upsampling does.
 
-    weights: (K, C, Co) with taps indexed like the forward conv; fine
-    voxel f gathers from coarse voxel (f // stride * stride) when
-    f == coarse + offsets[t] * (stride // kernel... ) — for k=2/s=2 each
-    fine voxel has exactly one parent and one matching tap.
+    ``tensor_stride`` is the FINE level's granularity (the coarse level
+    has ``tensor_stride * stride``).  weights: (K, C, Co) with taps
+    indexed like the forward conv; for k=2/s=2 each fine voxel has
+    exactly one coarse parent and one matching tap.
     """
     # parent coarse coordinate of each fine voxel
-    parent = coords_fine // stride * stride
+    cs = stride * tensor_stride
+    parent = coords_fine // cs * cs
     skeys, order = build_key_table(coords_coarse, valid_coarse)
     prow = lookup(skeys, order, parent, valid_fine)          # (M_f,)
-    # which tap: fine = parent + off  ->  off = fine - parent in {0,1}^3
-    off = coords_fine - parent                                # (M_f, 3)
+    # which tap: fine = parent + off*ts  ->  off in {0..k-1}^3
+    off = (coords_fine - parent) // tensor_stride             # (M_f, 3)
     k = kernel_size
     tap = (off[:, 0] * k + off[:, 1]) * k + off[:, 2]         # (M_f,)
     safe = jnp.clip(prow, 0, feats_coarse.shape[0] - 1)
@@ -231,16 +250,23 @@ def global_max_pool(feats, valid):
 
 
 def sparse_max_pool(coords, valid, feats, stride=2, kernel_size=2,
-                    max_out=None):
+                    max_out=None, tensor_stride=1):
     """MinkowskiMaxPooling(kernel=2, stride=2)."""
     max_out = max_out or coords.shape[0]
-    out_coords, out_valid = downsample_coords(coords, valid, stride,
-                                              max_out)
+    out_coords, out_valid = downsample_coords(
+        coords, valid, stride * tensor_stride, max_out)
     offs = kernel_offsets(kernel_size)
-    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs)
-    safe = jnp.clip(nbr, 0, feats.shape[0] - 1)
-    g = feats[safe.reshape(-1)].reshape(nbr.shape + (feats.shape[1],))
-    g = jnp.where((nbr >= 0)[..., None], g, -jnp.inf)
-    out = jnp.max(g, axis=1)
+    nbr = neighbor_table(coords, valid, out_coords, out_valid, offs,
+                         in_stride=tensor_stride)
+    m_in = feats.shape[0]
+
+    def tap(acc, nbr_k):
+        g = feats[jnp.clip(nbr_k, 0, m_in - 1)]
+        g = jnp.where((nbr_k >= 0)[:, None], g, -jnp.inf)
+        return jnp.maximum(acc, g), None
+
+    out0 = jnp.full((nbr.shape[0], feats.shape[1]), -jnp.inf,
+                    feats.dtype)
+    out, _ = jax.lax.scan(tap, out0, nbr.T)
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     return out_coords, out_valid, jnp.where(out_valid[:, None], out, 0.0)
