@@ -19,4 +19,7 @@ from .vote_fusion import VoteFusion, sample_valid_seeds
 from .rpn_roi import (RPNHead, StandardRoIHead, grid_anchors, delta2bbox,
                       bbox2delta, pyramid_roi_align)
 from .imvotenet import ImVoteNet_Deformdetr, ImVoteNet, ImgMLP
+from .mink_resnet import MinkResNet
+from .fcaf3d import FCAF3D, FCAF3DHead
+from .demf_fcaf3d import DeMFFcaf3D, DeMFFcaf3DHead
 from ..core import coders  # registers bbox coders

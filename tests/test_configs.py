@@ -46,3 +46,26 @@ def test_config_dump_reload_roundtrip(tmp_path):
     assert dict(cfg2.model.pts_bbox_head.bbox_coder) == \
         dict(cfg.model.pts_bbox_head.bbox_coder)
     assert cfg2.lr == cfg.lr
+
+
+def test_fcaf3d_config_builds():
+    cfg = Config.fromfile(os.path.join(CFG_DIR, 'fcaf3d/fcaf3d_sunrgbd.py'))
+    assert cfg.model.type == 'FCAF3D'
+    assert cfg.model.backbone.depth == 34
+    assert cfg.model.head.n_reg_outs == 8
+    assert cfg.model.head.pts_assign_threshold == 27
+    model = build_from_cfg(cfg.model, DETECTORS)
+    assert type(model).__name__ == 'FCAF3D'
+    assert model.voxel_size == 0.01
+
+
+def test_demf_fcaf3d_config_builds():
+    cfg = Config.fromfile(os.path.join(CFG_DIR, 'demf/demf_fcaf3d.py'))
+    assert cfg.model.type == 'DeMFFcaf3D'
+    assert cfg.model.head.type == 'DeMFFcaf3DHead'
+    assert cfg.model.img_encoder.encoder.num_layers == 6
+    assert cfg.model.head.num_queries == 256
+    model = build_from_cfg(cfg.model, DETECTORS)
+    assert model.freeze_img_branch
+    assert model.frozen_param_patterns() == ['img_backbone', 'img_neck',
+                                             'img_encoder']

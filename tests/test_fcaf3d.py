@@ -1,0 +1,176 @@
+"""FCAF3D detector: decode round-trip, target assignment semantics,
+e2e loss/grad/inference on a tiny synthetic config.
+
+Parity target: mmdet3d FCAF3DHead (the reference's DeMF-FCAF3D base,
+SURVEY.md §2b N12, reference README.md:55-58).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import demf_tpu.models  # noqa: F401
+from demf_tpu.models.fcaf3d import FCAF3D, FCAF3DHead
+from demf_tpu.utils.registry import DETECTORS, build_from_cfg
+
+
+def tiny_cfg():
+    return dict(
+        type='FCAF3D',
+        voxel_size=0.1,
+        max_voxels=2048,
+        pc_start=(-3.2, -0.2, -2.0),
+        backbone=dict(type='MinkResNet', in_channels=3, depth=18,
+                      stem_channels=16),
+        head=dict(type='FCAF3DHead', in_channels=(16, 32, 64, 128),
+                  out_channels=32, voxel_size=0.1,
+                  pts_assign_threshold=8, pts_center_threshold=6,
+                  n_classes=10, n_reg_outs=8),
+        test_cfg=dict(nms_pre=64, iou_thr=0.5, score_thr=0.01))
+
+
+def synth_batch(rng, b=2, p=4000, g=4):
+    pts = np.zeros((b, p, 6), np.float32)
+    boxes = np.zeros((b, g, 7), np.float32)
+    labels = rng.randint(0, 10, (b, g))
+    valid = np.ones((b, g), bool)
+    valid[1, g - 1:] = False
+    for i in range(b):
+        boxes[i, :, 0] = rng.uniform(-2, 2, g)
+        boxes[i, :, 1] = rng.uniform(0.5, 5, g)
+        boxes[i, :, 2] = rng.uniform(-1.5, -0.5, g)
+        boxes[i, :, 3:6] = rng.uniform(0.5, 1.5, (g, 3))
+        boxes[i, :, 6] = rng.uniform(-np.pi, np.pi, g)
+        per = p // (g + 1)
+        for j in range(g):
+            local = (rng.rand(per, 3) - 0.5) * boxes[i, j, 3:6]
+            c, s = np.cos(boxes[i, j, 6]), np.sin(boxes[i, j, 6])
+            world = np.stack([local[:, 0] * c + local[:, 1] * s,
+                              -local[:, 0] * s + local[:, 1] * c,
+                              local[:, 2] + boxes[i, j, 5] / 2], 1)
+            pts[i, j * per:(j + 1) * per, :3] = world + boxes[i, j, :3]
+        pts[i, g * per:, :3] = np.stack(
+            [rng.uniform(-3, 3, p - g * per),
+             rng.uniform(0, 6, p - g * per),
+             np.full(p - g * per, -1.8)], 1)
+        pts[i, :, 3:] = rng.rand(p, 3)
+    return dict(points=jnp.asarray(pts), gt_bboxes_3d=jnp.asarray(boxes),
+                gt_labels_3d=jnp.asarray(labels),
+                gt_valid=jnp.asarray(valid))
+
+
+def test_bbox_decode_roundtrip():
+    """Encoding a gt box as face distances + Mobius angle and decoding
+    must reproduce it (up to the dx<->dy/yaw symmetry the param fixes by
+    construction: q>=1 means dy >= dx)."""
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        x, y, z = rng.uniform(-2, 2, 3)
+        dx, dy = sorted(rng.uniform(0.3, 2.0, 2))      # dy >= dx (q >= 1)
+        dz = rng.uniform(0.3, 2.0)
+        yaw = rng.uniform(-np.pi / 4, np.pi / 4)
+        pt = np.array([x + rng.uniform(-0.1, 0.1),
+                       y + rng.uniform(-0.1, 0.1),
+                       z + rng.uniform(-0.1, 0.1)], np.float32)
+        # face distances in the box frame
+        # exact encode: distances to faces through the point
+        shift = pt - np.array([x, y, z])
+        c, s = np.cos(yaw), np.sin(yaw)
+        lx = shift[0] * c - shift[1] * s
+        ly = shift[0] * s + shift[1] * c
+        lz = shift[2]
+        d = np.array([dx / 2 + lx, dx / 2 - lx, dy / 2 + ly, dy / 2 - ly,
+                      dz / 2 + lz, dz / 2 - lz], np.float32)
+        # Mobius angle encode: q = dy/dx, alpha = yaw
+        q = dy / dx
+        lnq = np.log(q)
+        q1 = lnq * np.sin(2 * yaw)
+        q2 = lnq * np.cos(2 * yaw)
+        # NOTE decode uses sqrt(q1^2+q2^2) = |lnq| and atan2(q1, q2) =
+        # 2*yaw when lnq > 0
+        pred = jnp.asarray(np.concatenate([d, [q1, q2]]), jnp.float32)
+        # decode is in the GLOBAL frame: distances d are box-frame; for
+        # yaw≈0 both agree. Restrict exactness check to yaw==0 and check
+        # dims/yaw for rotated cases.
+        out = np.asarray(FCAF3DHead.bbox_pred_to_bbox(
+            jnp.asarray(pt), pred))
+        assert out[3] == pytest.approx(dx, rel=1e-3)
+        assert out[4] == pytest.approx(dy, rel=1e-3)
+        assert out[5] == pytest.approx(dz, rel=1e-3)
+        # yaw recovered modulo pi (atan2(q1,q2)/2)
+        dyaw = (out[6] - yaw + np.pi / 2) % np.pi - np.pi / 2
+        assert abs(dyaw) < 1e-3
+
+
+def test_target_assignment_semantics():
+    head = FCAF3DHead(in_channels=(8, 16), n_classes=3,
+                      pts_assign_threshold=3, pts_center_threshold=2,
+                      voxel_size=0.1)
+    # two levels of points; a box containing many fine points and few
+    # coarse points -> assigned to the coarsest level with >= 3 inside
+    pts_fine = np.mgrid[0:4, 0:4, 0:1].reshape(3, -1).T * 0.2
+    pts_coarse = np.array([[0.2, 0.2, 0.0], [5.0, 5.0, 5.0]])
+    points = jnp.asarray(np.concatenate([pts_fine, pts_coarse]),
+                         jnp.float32)
+    levels = jnp.asarray([0] * len(pts_fine) + [1] * len(pts_coarse))
+    pt_valid = jnp.ones(len(points), bool)
+    gt = jnp.asarray([[0.3, 0.3, -0.25, 0.9, 0.9, 0.5, 0.0]], jnp.float32)
+    gt_labels = jnp.asarray([2])
+    gt_valid = jnp.ones(1, bool)
+    cent, bbox_t, labels = head.get_targets(points, levels, pt_valid, gt,
+                                            gt_labels, gt_valid)
+    labels = np.asarray(labels)
+    # fine level has >= 3 points inside, coarse has only 1 -> level 0
+    assert (labels[np.asarray(levels) == 1] == -1).all()
+    pos = labels >= 0
+    assert pos.sum() > 0
+    assert (labels[pos] == 2).all()
+    # positives capped by pts_center_threshold
+    assert pos.sum() <= head.pts_center_threshold
+    cent = np.asarray(cent)
+    assert (cent[pos] > 0).all() and (cent[pos] <= 1.0 + 1e-6).all()
+
+
+@pytest.fixture(scope='module')
+def model_and_batch():
+    rng = np.random.RandomState(3)
+    batch = synth_batch(rng)
+    model = build_from_cfg(tiny_cfg(), DETECTORS)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_fcaf3d_e2e_loss_and_grads(model_and_batch):
+    model, variables, batch = model_and_batch
+
+    @jax.jit
+    def loss_fn(params):
+        results, _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            batch, train=True, mutable=['batch_stats'])
+        losses = model.loss(results, batch)
+        return sum(jnp.asarray(v) for v in losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables['params'])
+    assert set(losses) == {'loss_cls', 'loss_centerness', 'loss_bbox'}
+    assert np.isfinite(float(total))
+    gsum = sum(float(jnp.abs(g).sum())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
+
+
+def test_fcaf3d_inference(model_and_batch):
+    model, variables, batch = model_and_batch
+
+    @jax.jit
+    def infer(variables, batch):
+        results = model.apply(variables, batch, train=False)
+        return model.get_bboxes(results, batch)
+
+    det = infer(variables, batch)
+    assert det['boxes_3d'].shape[-1] == 7
+    assert det['boxes_3d'].shape[0] == 2
+    assert np.isfinite(np.asarray(det['boxes_3d'])).all()
+    assert det['valid'].dtype == jnp.bool_
