@@ -143,6 +143,7 @@ class DataLoader:
 
             q: queue.Queue = queue.Queue(maxsize=self.prefetch)
             stop = object()
+            err: list = []
 
             def worker():
                 try:
@@ -150,6 +151,8 @@ class DataLoader:
                         sel = idx[bi * self.batch_size:
                                   (bi + 1) * self.batch_size]
                         q.put(self._fetch(pool, sel))
+                except BaseException as e:   # surface in the consumer
+                    err.append(e)
                 finally:
                     q.put(stop)
 
@@ -158,6 +161,8 @@ class DataLoader:
             while True:
                 item = q.get()
                 if item is stop:
+                    if err:
+                        raise err[0]
                     break
                 yield item
         finally:

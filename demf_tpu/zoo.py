@@ -126,6 +126,26 @@ def synth_points_batch(b, p, g=32, seed=0):
                 gt_valid=jnp.asarray(rng.rand(b, g) < 0.5))
 
 
+def synth_detr2d_batch(b, hw=(800, 1344), g=20, seed=0):
+    """Synthetic image-only batch for the stage-1 DETR 2D pretrain path
+    (mirrors the reference's imvotenet_deform.py stage-1 inputs)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, w / 2, (b, g))
+    boxes[..., 1] = rng.uniform(0, h / 2, (b, g))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, w / 2, (b, g))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, h / 2, (b, g))
+    return dict(
+        img=jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+        img_meta=dict(img_shape=jnp.asarray(
+            np.tile(np.array([list(hw)], np.int32), (b, 1)))),
+        gt_bboxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(rng.randint(0, 10, (b, g))),
+        gt_bboxes_valid=jnp.asarray(rng.rand(b, g) < 0.8))
+
+
 def synth_demf_batch(b, p=20000, g=32, hw=(800, 1344), seed=0,
                      valid_hw=None):
     """Synthetic full DeMF batch: points + image + calib/aug meta."""
