@@ -7,6 +7,8 @@ import pytest
 import demf_tpu.models  # noqa: F401
 from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 
+pytestmark = pytest.mark.slow  # heavy-compile e2e tier
+
 
 def tiny_demf_cfg():
     return dict(

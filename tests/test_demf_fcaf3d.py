@@ -13,6 +13,8 @@ import demf_tpu.models  # noqa: F401
 from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 from test_fcaf3d import synth_batch
 
+pytestmark = pytest.mark.slow  # heavy-compile e2e tier
+
 
 def tiny_cfg():
     return dict(

@@ -8,6 +8,8 @@ import demf_tpu.models  # noqa: F401
 from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 from test_demf import demf_batch
 
+pytestmark = pytest.mark.slow  # heavy-compile e2e tier
+
 
 def tiny_imvotenet_deform_cfg():
     head_common = dict(

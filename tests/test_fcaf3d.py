@@ -13,6 +13,8 @@ import demf_tpu.models  # noqa: F401
 from demf_tpu.models.fcaf3d import FCAF3D, FCAF3DHead
 from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 
+pytestmark = pytest.mark.slow  # heavy-compile e2e tier
+
 
 def tiny_cfg():
     return dict(

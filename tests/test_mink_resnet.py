@@ -4,12 +4,15 @@ Mirrors mmdet3d MinkResNet as FCAF3D consumes it (reference DeMF_fcaf
 branch, SURVEY.md §2b N12): 4 stage outputs at tensor strides 8/16/32/64
 with channels 64/128/256/512.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from demf_tpu.models.mink_resnet import MinkResNet
 from demf_tpu.ops import sparse as S
+
+pytestmark = pytest.mark.slow  # heavy-compile e2e tier
 
 
 def _batch(rng, b=2, n_pts=2000, cap=1024):
