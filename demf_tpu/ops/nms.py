@@ -70,6 +70,9 @@ def nms_2d(boxes, scores, thresh, valid=None):
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
+    if n > _MATRIX_NMS_MAX:
+        return _greedy_suppress_rowwise_2d(boxes, scores, None, thresh,
+                                           valid)
     lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
     rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
     inter = jnp.clip(rb - lt, 0, None).prod(-1)
@@ -78,11 +81,49 @@ def nms_2d(boxes, scores, thresh, valid=None):
     return _greedy_suppress(iou, scores, thresh, valid)
 
 
+def _greedy_suppress_rowwise_2d(boxes, scores, idxs, thresh, valid):
+    """Greedy 2D NMS with O(N) memory: the IoU ROW of the current pivot
+    is computed inside the loop body instead of materializing the (N, N)
+    matrix — required at RPN-proposal scale (5 levels x nms_pre=2000 =
+    10k candidates would need a 400 MB matrix per image; the row form
+    peaks at one (N, 4) buffer)."""
+    n = scores.shape[0]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    bx = boxes[order]
+    ids = idxs[order] if idxs is not None else None
+    valid_s = valid[order]
+    area = jnp.clip(bx[:, 2:] - bx[:, :2], 0, None).prod(-1)
+    pos = jnp.arange(n)
+
+    def body(i, keep):
+        piv = bx[i]
+        lt = jnp.maximum(bx[:, :2], piv[:2])
+        rb = jnp.minimum(bx[:, 2:], piv[2:])
+        inter = jnp.clip(rb - lt, 0, None).prod(-1)
+        piv_area = jnp.clip(piv[2:] - piv[:2], 0, None).prod(-1)
+        iou = inter / jnp.clip(area + piv_area - inter, 1e-8, None)
+        if ids is not None:
+            iou = jnp.where(ids == ids[i], iou, 0.0)
+        sup = (iou > thresh) & (pos > i)
+        return keep & ~(keep[i] & sup)
+
+    keep_s = jax.lax.fori_loop(0, n, body, valid_s)
+    return jnp.zeros((n,), bool).at[order].set(keep_s)
+
+
+# above this candidate count the (N, N) IoU matrix becomes the memory
+# bottleneck and the row-wise loop takes over
+_MATRIX_NMS_MAX = 4096
+
+
 def batched_nms_2d(boxes, scores, idxs, thresh, valid=None):
     """Category-separated 2D NMS (boxes of different idxs never interact)."""
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
+    if n > _MATRIX_NMS_MAX:
+        return _greedy_suppress_rowwise_2d(boxes, scores, idxs, thresh,
+                                           valid)
     lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
     rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
     inter = jnp.clip(rb - lt, 0, None).prod(-1)

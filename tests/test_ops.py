@@ -304,3 +304,31 @@ def test_msda_small_q_path_matches_autodiff():
     for a, b_ in zip(g_ref, g_new):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_rowwise_nms_matches_matrix():
+    """The O(N)-memory row-wise greedy NMS (RPN-proposal scale) must
+    produce exactly the matrix-form keep set."""
+    import numpy as np
+    from demf_tpu.ops import nms as N
+    rng = np.random.RandomState(0)
+    n = 300
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, :2] = rng.rand(n, 2) * 100
+    boxes[:, 2:] = boxes[:, :2] + rng.rand(n, 2) * 40 + 2
+    scores = rng.rand(n).astype(np.float32)
+    idxs = rng.randint(0, 3, n)
+    valid = rng.rand(n) < 0.9
+    ref = np.asarray(N.batched_nms_2d(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs), 0.5,
+        jnp.asarray(valid)))
+    got = np.asarray(N._greedy_suppress_rowwise_2d(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(idxs), 0.5,
+        jnp.asarray(valid)))
+    assert (ref == got).all()
+    ref2 = np.asarray(N.nms_2d(jnp.asarray(boxes), jnp.asarray(scores),
+                               0.5, jnp.asarray(valid)))
+    got2 = np.asarray(N._greedy_suppress_rowwise_2d(
+        jnp.asarray(boxes), jnp.asarray(scores), None, 0.5,
+        jnp.asarray(valid)))
+    assert (ref2 == got2).all()

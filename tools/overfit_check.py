@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""End-to-end learning sanity: overfit VoteNet on synthetic scenes.
+"""End-to-end learning sanity: overfit VoteNet or FCAF3D on synthetic
+scenes.
 
-Trains the full-size VoteNet on a small synthetic SUN-RGB-D-format set and
+Trains the full-size model on a small synthetic SUN-RGB-D-format set and
 reports indoor mAP before/after — evidence that ops, targets, losses,
-optimizer and the eval stack close the loop (SURVEY.md §7 phase 4/5 check).
+optimizer and the eval stack close the loop (SURVEY.md §7 phase 4/5
+check; FCAF3D mode covers the sparse-conv family the same way).
 
-Usage: python tools/overfit_check.py [--steps 200]
+Usage: python tools/overfit_check.py [--steps 200] [--model votenet|fcaf3d]
 """
 from __future__ import annotations
 
@@ -18,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def main(steps=200, batch_size=16):
+def main(steps=200, batch_size=16, model_kind='votenet'):
     import jax
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
@@ -30,17 +32,37 @@ def main(steps=200, batch_size=16):
     from demf_tpu.utils.config import Config
     from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 
-    cfg = Config.fromfile(os.path.join(
-        os.path.dirname(__file__), '..', 'configs/baseline/votenet.py'))
-    pipeline = [
-        dict(type='LoadPointsFromFile', coord_type='DEPTH',
-             shift_height=True, load_dim=6, use_dim=[0, 1, 2]),
-        dict(type='LoadAnnotations3D'),
-        dict(type='PointSample', num_points=20000),
-        dict(type='DefaultFormatBundle3D'),
-        dict(type='Collect3D', keys=['points', 'gt_bboxes_3d',
-                                     'gt_labels_3d']),
-    ]
+    if model_kind == 'fcaf3d':
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(__file__), '..',
+            'configs/fcaf3d/fcaf3d_sunrgbd.py'))
+        cfg.model['max_voxels'] = 16384
+        pipeline = [
+            dict(type='LoadPointsFromFile', coord_type='DEPTH',
+                 shift_height=False, load_dim=6,
+                 use_dim=[0, 1, 2, 3, 4, 5]),
+            dict(type='LoadAnnotations3D'),
+            dict(type='PointSample', num_points=20000),
+            dict(type='DefaultFormatBundle3D'),
+            dict(type='Collect3D', keys=['points', 'gt_bboxes_3d',
+                                         'gt_labels_3d']),
+        ]
+        lr, wd = 1e-3, 1e-4
+        batch_size = min(batch_size, 8)
+    else:
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(__file__), '..',
+            'configs/baseline/votenet.py'))
+        pipeline = [
+            dict(type='LoadPointsFromFile', coord_type='DEPTH',
+                 shift_height=True, load_dim=6, use_dim=[0, 1, 2]),
+            dict(type='LoadAnnotations3D'),
+            dict(type='PointSample', num_points=20000),
+            dict(type='DefaultFormatBundle3D'),
+            dict(type='Collect3D', keys=['points', 'gt_bboxes_3d',
+                                         'gt_labels_3d']),
+        ]
+        lr, wd = 4e-3, 0.01
     ds = build_dataset(dict(type='SyntheticSUNRGBD', num_scenes=32,
                             num_raw_points=24000, max_boxes=6,
                             pipeline=pipeline, seed=7))
@@ -51,7 +73,7 @@ def main(steps=200, batch_size=16):
     batch0 = next(iter(loader))
     variables = jax.jit(lambda r, b: model.init(r, b, train=True))(
         jax.random.PRNGKey(0), batch0)
-    tx = build_optimizer(dict(type='AdamW', lr=4e-3, weight_decay=0.01),
+    tx = build_optimizer(dict(type='AdamW', lr=lr, weight_decay=wd),
                          variables['params'],
                          grad_clip=dict(max_norm=10, norm_type=2))
     mesh = make_mesh()
@@ -93,6 +115,9 @@ def main(steps=200, batch_size=16):
 
 if __name__ == '__main__':
     steps = 200
+    kind = 'votenet'
     if '--steps' in sys.argv:
         steps = int(sys.argv[sys.argv.index('--steps') + 1])
-    main(steps=steps)
+    if '--model' in sys.argv:
+        kind = sys.argv[sys.argv.index('--model') + 1]
+    main(steps=steps, model_kind=kind)
