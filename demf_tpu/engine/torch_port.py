@@ -367,6 +367,142 @@ class TorchPorter:
         return jax.tree_util.tree_map(np.asarray, variables), report
 
 
+def _me_tap_perm(k, axis0_fastest=True):
+    """Permutation from MinkowskiEngine kernel-tap order to ours.
+
+    Our ``ops.sparse.kernel_offsets`` enumerates taps with the LAST axis
+    fastest (t = (i0*k + i1)*k + i2).  MinkowskiEngine's HYPER_CUBE
+    kernel region enumerates the FIRST axis fastest.  If a real
+    checkpoint disagrees (cannot be probed in this sandbox — the
+    DeMF_fcaf branch and its weights are unavailable), pass
+    ``axis0_fastest=False`` to fall back to identity.
+    """
+    import itertools
+    perm = []
+    if not axis0_fastest:
+        return list(range(k ** 3))
+    # ME index t_me enumerates (i0 fastest): i0 + k*i1 + k^2*i2 over
+    # (axis0, axis1, axis2); ours is (i0*k + i1)*k + i2.
+    for i2, i1, i0 in itertools.product(range(k), range(k), range(k)):
+        perm.append((i0 * k + i1) * k + i2)
+    return perm
+
+
+class MinkPorter(TorchPorter):
+    """TorchPorter extension for MinkowskiEngine sparse-conv modules
+    (mmdet3d MinkResNet + FCAF3DHead — the DeMF-FCAF3D base family).
+
+    ME ``MinkowskiConvolution`` kernels are stored as
+    ``(K^3, C_in, C_out)`` (or ``(C_in, C_out)`` for kernel_size=1),
+    matching our ``ops.sparse`` weight layout up to tap ORDER (see
+    ``_me_tap_perm``); ``MinkowskiBatchNorm`` nests a BatchNorm1d under
+    ``.bn``.
+    """
+
+    def map_mink_conv(self, flax_path, torch_key, kernel_size,
+                      axis0_fastest=True, as_dense=True):
+        w = self._get(torch_key)
+        if w.ndim == 3:
+            perm = _me_tap_perm(kernel_size, axis0_fastest)
+            out = np.empty_like(w)
+            for t_me, t_ours in enumerate(perm):
+                out[t_ours] = w[t_me]
+            self.params[flax_path] = out
+        elif as_dense:              # k=1 (C_in, C_out) -> nn.Dense kernel
+            self.params[f'{flax_path}/kernel'] = _t(w)
+        else:                       # k=1 -> our (1, C_in, C_out) tap form
+            self.params[flax_path] = _t(w)[None]
+
+    def map_mink_bn(self, flax_path, torch_prefix):
+        self.map_bn(flax_path, f'{torch_prefix}.bn')
+
+    def map_mink_resnet(self, flax_path='backbone',
+                        torch_prefix='backbone', depth=34):
+        """mmdet3d MinkResNet: conv1/norm1 stem + layer{1..4} BasicBlocks
+        (conv1/norm1/conv2/norm2 + downsample.{0,1} on stride blocks)."""
+        self.map_mink_conv(f'{flax_path}/stem_conv',
+                           f'{torch_prefix}.conv1.kernel', 3)
+        self.map_mink_bn(f'{flax_path}/stem_bn', f'{torch_prefix}.norm1')
+        blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[depth]
+        for s, n in enumerate(blocks):
+            for i in range(n):
+                fp = f'{flax_path}/layer{s + 1}_{i}'
+                tp = f'{torch_prefix}.layer{s + 1}.{i}'
+                k1 = 2 if i == 0 else 3
+                self.map_mink_conv(f'{fp}/conv1', f'{tp}.conv1.kernel',
+                                   k1)
+                self.map_mink_bn(f'{fp}/bn1', f'{tp}.norm1')
+                self.map_mink_conv(f'{fp}/conv2', f'{tp}.conv2.kernel', 3)
+                self.map_mink_bn(f'{fp}/bn2', f'{tp}.norm2')
+                if f'{tp}.downsample.0.kernel' in self.sd:
+                    self.map_mink_conv(f'{fp}/down',
+                                       f'{tp}.downsample.0.kernel', 1,
+                                       as_dense=False)
+                    self.map_mink_bn(f'{fp}/bn_down',
+                                     f'{tp}.downsample.1')
+
+    def map_fcaf3d_head(self, flax_path='head', torch_prefix='head',
+                        n_levels=4):
+        """mmdet3d FCAF3DHead: up_block_{i} (Sequential tconv/bn/elu/
+        conv/bn/elu), out_block_{i} (conv/bn/elu), shared k=1 prediction
+        convs (centerness_conv / reg_conv / cls_conv)."""
+        for i in range(1, n_levels):
+            tp = f'{torch_prefix}.up_block_{i}'
+            fp = f'{flax_path}/up_block_{i}'
+            self.map_mink_conv(f'{fp}_tconv', f'{tp}.0.kernel', 2)
+            self.map_mink_bn(f'{fp}_tbn', f'{tp}.1')
+            self.map_mink_conv(f'{fp}_conv', f'{tp}.3.kernel', 3)
+            self.map_mink_bn(f'{fp}_bn', f'{tp}.4')
+        for i in range(n_levels):
+            tp = f'{torch_prefix}.out_block_{i}'
+            fp = f'{flax_path}/out_block_{i}'
+            self.map_mink_conv(f'{fp}_conv', f'{tp}.0.kernel', 3)
+            self.map_mink_bn(f'{fp}_bn', f'{tp}.1')
+        self.map_mink_conv(f'{flax_path}/conv_center',
+                           f'{torch_prefix}.centerness_conv.kernel', 1)
+        self.map_mink_conv(f'{flax_path}/conv_reg',
+                           f'{torch_prefix}.reg_conv.kernel', 1)
+        self.map_mink_conv(f'{flax_path}/conv_cls',
+                           f'{torch_prefix}.cls_conv.kernel', 1)
+        if f'{torch_prefix}.cls_conv.bias' in self.sd:
+            self.params[f'{flax_path}/conv_cls/bias'] = self._get(
+                f'{torch_prefix}.cls_conv.bias').reshape(-1)
+
+
+def port_fcaf3d_checkpoint(state_dict, variables_template, depth=34,
+                           n_levels=4, strict=True):
+    """Port an mmdet3d FCAF3D state_dict (MinkResNet + FCAF3DHead) into
+    this framework's FCAF3D variables.
+
+    The reference's DeMF_fcaf branch (README.md:55-58) builds on exactly
+    this detector; its released weights are not downloadable here, so
+    the map is validated structurally (every template leaf covered, no
+    unused torch keys) against a synthesized mmdet3d-named state_dict —
+    see tests/test_demf_port.py.
+    """
+    porter = MinkPorter(state_dict)
+    porter.map_mink_resnet(depth=depth)
+    porter.map_fcaf3d_head(n_levels=n_levels)
+    variables, report = porter.build(variables_template)
+    if strict:
+        tmpl_params = flatten_params(variables_template['params'])
+        tmpl_stats = flatten_params(
+            variables_template.get('batch_stats', {}))
+        missing_tmpl = (set(tmpl_params) - set(porter.params)) | {
+            k for k in tmpl_stats if k not in porter.batch_stats}
+        unused = {k for k in set(porter.sd) - porter.used
+                  if not k.endswith('num_batches_tracked')}
+        if report['unmatched_flax_keys'] or missing_tmpl or unused:
+            raise ValueError(
+                'incomplete port: '
+                f'unmatched={report["unmatched_flax_keys"][:5]} '
+                f'missing_template={sorted(missing_tmpl)[:5]} '
+                f'unused_torch={sorted(unused)[:5]} '
+                f'(counts: {len(report["unmatched_flax_keys"])}/'
+                f'{len(missing_tmpl)}/{len(unused)})')
+    return variables, report
+
+
 def port_demf_checkpoint(state_dict, variables_template,
                          num_decoder_layers=1, strict=True):
     """Port a full DeMF-VoteNet torch state_dict into flax variables.

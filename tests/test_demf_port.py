@@ -335,3 +335,92 @@ def test_port_demf_checkpoint_full_coverage(demf_template):
     np.testing.assert_allclose(
         flat['pts_bbox_head/decoder_0/layer/self_attn/attn/query/kernel']
         .reshape(e, e), inw[:e].transpose(1, 0))
+
+
+@pytest.fixture(scope='module')
+def fcaf3d_template():
+    import demf_tpu.models  # noqa: F401
+    from demf_tpu.utils.registry import DETECTORS, build_from_cfg
+    from test_fcaf3d import tiny_cfg, synth_batch
+    model = build_from_cfg(tiny_cfg(), DETECTORS)
+    batch = synth_batch(np.random.RandomState(0), b=1, p=1500, g=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return model, variables
+
+
+def _synth_fcaf3d_torch_sd(variables, rng):
+    """mmdet3d-exact key names for MinkResNet18(stem16) + FCAF3DHead,
+    shapes taken from the flax template (ME kernel layout == ours up to
+    tap order; MinkowskiBatchNorm nests BatchNorm1d under `.bn`)."""
+    from demf_tpu.engine.torch_port import flatten_params
+    pt = flatten_params(variables['params'])
+    st = flatten_params(variables['batch_stats'])
+    sd = {}
+
+    def bn(tkey, fkey):
+        sd[f'{tkey}.bn.weight'] = rng.rand(
+            *pt[f'{fkey}/scale'].shape).astype(np.float32)
+        sd[f'{tkey}.bn.bias'] = rng.rand(
+            *pt[f'{fkey}/bias'].shape).astype(np.float32)
+        sd[f'{tkey}.bn.running_mean'] = rng.randn(
+            *st[f'{fkey}/mean'].shape).astype(np.float32)
+        sd[f'{tkey}.bn.running_var'] = rng.rand(
+            *st[f'{fkey}/var'].shape).astype(np.float32) + 0.5
+        sd[f'{tkey}.bn.num_batches_tracked'] = np.asarray(7)
+
+    def conv(tkey, fkey, dense=False):
+        shape = pt[f'{fkey}/kernel'].shape if dense else pt[fkey].shape
+        if not dense and shape[0] == 1:      # our (1, C, Co) k=1 tap form
+            shape = shape[1:]
+        sd[tkey] = rng.randn(*shape).astype(np.float32)
+
+    conv('backbone.conv1.kernel', 'backbone/stem_conv')
+    bn('backbone.norm1', 'backbone/stem_bn')
+    for s, n in enumerate((2, 2, 2, 2)):          # depth 18
+        for i in range(n):
+            tp, fp = f'backbone.layer{s + 1}.{i}', \
+                f'backbone/layer{s + 1}_{i}'
+            conv(f'{tp}.conv1.kernel', f'{fp}/conv1')
+            bn(f'{tp}.norm1', f'{fp}/bn1')
+            conv(f'{tp}.conv2.kernel', f'{fp}/conv2')
+            bn(f'{tp}.norm2', f'{fp}/bn2')
+            if i == 0:
+                conv(f'{tp}.downsample.0.kernel', f'{fp}/down')
+                bn(f'{tp}.downsample.1', f'{fp}/bn_down')
+    for i in range(1, 4):
+        tp, fp = f'head.up_block_{i}', f'head/up_block_{i}'
+        conv(f'{tp}.0.kernel', f'{fp}_tconv')
+        bn(f'{tp}.1', f'{fp}_tbn')
+        conv(f'{tp}.3.kernel', f'{fp}_conv')
+        bn(f'{tp}.4', f'{fp}_bn')
+    for i in range(4):
+        conv(f'head.out_block_{i}.0.kernel', f'head/out_block_{i}_conv')
+        bn(f'head.out_block_{i}.1', f'head/out_block_{i}_bn')
+    conv('head.centerness_conv.kernel', 'head/conv_center', dense=True)
+    conv('head.reg_conv.kernel', 'head/conv_reg', dense=True)
+    conv('head.cls_conv.kernel', 'head/conv_cls', dense=True)
+    sd['head.cls_conv.bias'] = rng.randn(
+        *pt['head/conv_cls/bias'].shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.slow
+def test_port_fcaf3d_checkpoint_full_coverage(fcaf3d_template):
+    """MinkResNet+FCAF3DHead map: every flax leaf ported, every torch
+    key consumed, tap permutation applied."""
+    from demf_tpu.engine.torch_port import port_fcaf3d_checkpoint
+    _, variables = fcaf3d_template
+    rng = np.random.RandomState(1)
+    sd = _synth_fcaf3d_torch_sd(variables, rng)
+    new_vars, report = port_fcaf3d_checkpoint(sd, dict(variables),
+                                              depth=18, strict=True)
+    flat = flatten_params(new_vars['params'])
+    # tap permutation: ME axis-0-fastest tap t_me lands at our
+    # (i0*k+i1)*k+i2
+    w = sd['backbone.conv1.kernel']              # (27, 3, 16)
+    assert np.allclose(flat['backbone/stem_conv'][(1 * 3 + 0) * 3 + 0],
+                       w[1])                     # t_me=1 -> (i0=1,0,0)
+    stats = flatten_params(new_vars['batch_stats'])
+    np.testing.assert_allclose(
+        stats['head/out_block_2_bn/mean'],
+        sd['head.out_block_2.1.bn.running_mean'])

@@ -36,7 +36,8 @@ def synth_batch(rng, b=2, p=4000, g=4):
     boxes = np.zeros((b, g, 7), np.float32)
     labels = rng.randint(0, 10, (b, g))
     valid = np.ones((b, g), bool)
-    valid[1, g - 1:] = False
+    if b > 1:
+        valid[1, g - 1:] = False
     for i in range(b):
         boxes[i, :, 0] = rng.uniform(-2, 2, g)
         boxes[i, :, 1] = rng.uniform(0.5, 5, g)
