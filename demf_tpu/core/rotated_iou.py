@@ -90,8 +90,9 @@ def _poly_area(verts, count):
     return 0.5 * jnp.abs(jnp.sum((x1 * y2 - x2 * y1) * active))
 
 
-def bev_intersection(box1, box2):
-    """BEV intersection area of two rotated rectangles (differentiable)."""
+def bev_intersection_clip(box1, box2):
+    """BEV intersection via Sutherland–Hodgman clipping (reference
+    formulation; scatter-heavy — kept for cross-checking)."""
     p1 = bev_corners(box1)
     p2 = bev_corners(box2)
     verts = jnp.zeros((_CAP, 2), p1.dtype).at[:4].set(p1)
@@ -100,6 +101,68 @@ def bev_intersection(box1, box2):
         verts, count = _clip_by_edge(verts, count, p2[k],
                                      p2[(k + 1) % 4])
     return _poly_area(verts, count)
+
+
+def bev_intersection(box1, box2):
+    """BEV intersection area, sort-vertices formulation (differentiable,
+    scatter-free — the XLA-friendly analogue of the CUDA
+    ``diff_iou_rotated`` sort-vertices kernel).
+
+    Candidate vertices of the convex intersection polygon: corners of A
+    inside B (4), corners of B inside A (4), and the 16 edge-pair
+    intersection points — 24 masked candidates.  They are ordered by
+    angle around the valid-centroid; invalid slots repeat the first
+    valid vertex (duplicates contribute zero to the shoelace sum).
+    """
+    pa = bev_corners(box1)                       # (4, 2)
+    pb = bev_corners(box2)
+
+    def inside(pts, poly):
+        # convex CCW polygon: point is inside iff left of every edge
+        a = poly
+        b = jnp.roll(poly, -1, axis=0)
+        e = b - a                                # (4, 2)
+        d = pts[:, None, :] - a[None, :, :]      # (P, 4, 2)
+        cr = e[None, :, 0] * d[..., 1] - e[None, :, 1] * d[..., 0]
+        return (cr >= -1e-9).all(-1)             # (P,)
+
+    in_ab = inside(pa, pb)                       # (4,)
+    in_ba = inside(pb, pa)
+
+    # all 16 edge-pair intersections
+    a1 = pa                                      # (4, 2) edge starts
+    a2 = jnp.roll(pa, -1, axis=0)
+    b1 = pb
+    b2 = jnp.roll(pb, -1, axis=0)
+    da = (a2 - a1)[:, None, :]                   # (4, 1, 2)
+    db = (b2 - b1)[None, :, :]                   # (1, 4, 2)
+    r = a1[:, None, :] - b1[None, :, :]          # (4, 4, 2)
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = (db[..., 0] * r[..., 1] - db[..., 1] * r[..., 0]) / safe
+    u = (da[..., 0] * r[..., 1] - da[..., 1] * r[..., 0]) / safe
+    hit = (jnp.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & \
+        (u >= 0) & (u <= 1)
+    ipts = a1[:, None, :] + t[..., None] * da    # (4, 4, 2)
+
+    cand = jnp.concatenate([pa, pb, ipts.reshape(16, 2)])   # (24, 2)
+    valid = jnp.concatenate([in_ab, in_ba, hit.reshape(16)])
+
+    n = valid.sum()
+    w = valid.astype(cand.dtype)[:, None]
+    centroid = (cand * w).sum(0) / jnp.maximum(n, 1)
+    ang = jnp.arctan2(cand[:, 1] - centroid[1],
+                      cand[:, 0] - centroid[0])
+    ang = jnp.where(valid, ang, jnp.inf)
+    order = jnp.argsort(ang)
+    pts = cand[order]                            # valid first, by angle
+    first = pts[0]
+    idx = jnp.arange(24)
+    pts = jnp.where((idx < n)[:, None], pts, first[None])
+    nxt = jnp.roll(pts, -1, axis=0)
+    area = 0.5 * jnp.abs(jnp.sum(
+        pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]))
+    return jnp.where(n >= 3, area, 0.0)
 
 
 def iou3d_pair(box1, box2, eps=1e-7):

@@ -93,7 +93,10 @@ def lookup(skeys, order, query_coords, query_valid):
     # clamp into the packable range; clamped queries cannot alias a real
     # key (real per-axis fields never reach the clamp bound)
     qkeys = linearize(jnp.clip(query_coords, -_SHIFT, int(INVALID)))
-    pos = jnp.searchsorted(skeys, qkeys)
+    # method='sort' lowers to one fast TPU sort over keys+queries; the
+    # default scan binary search was the single hottest op of the FCAF3D
+    # step (~210 ms at b8/16k voxels, xplane-verified)
+    pos = jnp.searchsorted(skeys, qkeys, method='sort')
     pos = jnp.clip(pos, 0, skeys.shape[0] - 1)
     hit = (skeys[pos] == qkeys) & query_valid
     return jnp.where(hit, order[pos], -1)
@@ -157,16 +160,23 @@ def sparse_conv_apply(feats, nbr, weights, bias=None):
 
 
 def submanifold_conv(coords, valid, feats, weights, bias=None,
-                     kernel_size=3, tensor_stride=1):
+                     kernel_size=3, tensor_stride=1, nbr=None):
     """MinkowskiConvolution(stride=1) on the same coordinate set.
 
     ``tensor_stride``: the level's coordinate granularity (coords are
     multiples of it after s stride-2 downsamplings); kernel taps step by
     it, exactly like Minkowski tensor-stride bookkeeping.
+
+    ``nbr``: optionally a precomputed (M, K) neighbor table for this
+    (coords, kernel_size, tensor_stride) — the table depends only on the
+    coordinate set, so callers stacking several convs on one level
+    should build it once (see MinkResNet) instead of paying the
+    argsort + K binary searches per conv.
     """
-    offs = kernel_offsets(kernel_size)
-    nbr = neighbor_table(coords, valid, coords, valid, offs,
-                         in_stride=tensor_stride)
+    if nbr is None:
+        offs = kernel_offsets(kernel_size)
+        nbr = neighbor_table(coords, valid, coords, valid, offs,
+                             in_stride=tensor_stride)
     out = sparse_conv_apply(feats, nbr, weights, bias)
     return jnp.where(valid[:, None], out, 0.0)
 

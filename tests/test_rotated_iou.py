@@ -73,3 +73,23 @@ def test_rotated_nms():
     keep2 = np.asarray(rotated_nms_3d(boxes, scores,
                                       jnp.asarray([0, 1, 0]), 0.25))
     assert keep2.tolist() == [True, True, True]
+
+
+def test_sort_vertices_matches_clip_form():
+    """The scatter-free sort-vertices intersection must match the
+    Sutherland-Hodgman clip form across random and degenerate pairs."""
+    from demf_tpu.core.rotated_iou import (bev_intersection,
+                                           bev_intersection_clip)
+    rng = np.random.RandomState(7)
+    b1 = _random_boxes(rng, 64)
+    b2 = _random_boxes(rng, 64)
+    # include identical, contained, and far-apart pairs
+    b2[:8] = b1[:8]
+    b2[8:16] = b1[8:16]
+    b2[8:16, 3:6] *= 0.3          # contained
+    b2[16:24, 0] += 50            # disjoint
+    f_new = jax.jit(jax.vmap(bev_intersection))
+    f_old = jax.jit(jax.vmap(bev_intersection_clip))
+    a_new = np.asarray(f_new(jnp.asarray(b1), jnp.asarray(b2)))
+    a_old = np.asarray(f_old(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(a_new, a_old, atol=2e-4)
