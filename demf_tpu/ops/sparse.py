@@ -89,17 +89,14 @@ def build_key_table(coords, valid):
 
 
 def lookup(skeys, order, query_coords, query_valid):
-    """Find rows of ``query_coords`` in the table; -1 when absent."""
-    # clamp into the packable range; clamped queries cannot alias a real
-    # key (real per-axis fields never reach the clamp bound)
-    qkeys = linearize(jnp.clip(query_coords, -_SHIFT, int(INVALID)))
-    # method='sort' lowers to one fast TPU sort over keys+queries; the
-    # default scan binary search was the single hottest op of the FCAF3D
-    # step (~210 ms at b8/16k voxels, xplane-verified)
-    pos = jnp.searchsorted(skeys, qkeys, method='sort')
-    pos = jnp.clip(pos, 0, skeys.shape[0] - 1)
-    hit = (skeys[pos] == qkeys) & query_valid
-    return jnp.where(hit, order[pos], -1)
+    """Find rows of ``query_coords`` in the table; -1 when absent.
+
+    Queries outside the packable range are clamped; clamped queries
+    cannot alias a real key (real per-axis fields never reach the clamp
+    bound).  Uses the bucketed-compare path (see ``_lookup_bucketed``).
+    """
+    return _lookup_bucketed(_bucketed_table(skeys, order), query_coords,
+                            query_valid)
 
 
 def kernel_offsets(kernel_size):
@@ -112,20 +109,63 @@ def kernel_offsets(kernel_size):
                      -1).astype(jnp.int32)
 
 
+_BUCKET_W = 128     # keys per bucket: one 512 B row gather per query
+
+
+def _bucketed_table(skeys, order):
+    """Pack the sorted (key, row) table into (B, 2, W) bucket rows."""
+    m = skeys.shape[0]
+    b = -(-m // _BUCKET_W)
+    pad = b * _BUCKET_W - m
+    if pad:
+        skeys = jnp.concatenate(
+            [skeys, jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+        order = jnp.concatenate([order, jnp.zeros((pad,), jnp.int32)])
+    return jnp.stack([skeys.reshape(b, _BUCKET_W),
+                      order.reshape(b, _BUCKET_W)], 1)
+
+
+def _lookup_bucketed(packed, query_coords, query_valid):
+    """Hash-free exact lookup: pick the query's bucket by comparing
+    against the B bucket pivots (all-vectorized), gather that bucket's
+    512 B (key, row) line, and match within it.
+
+    Replaces searchsorted + two single-int32-element gathers — those
+    were the FCAF3D backbone's hottest ops after the conv gathers
+    (xplane: ~110 ms/step at b8/16k voxels for the stem level alone;
+    single-element gathers run ~10 M rows/s while 128-int row gathers
+    move the same information at full gather throughput).
+    """
+    qkeys = linearize(jnp.clip(query_coords, -_SHIFT, int(INVALID)))
+    pivots = packed[:, 0, 0]                              # (B,)
+    bucket = jnp.sum(qkeys[:, None] >= pivots[None, :], 1) - 1
+    bucket = jnp.clip(bucket, 0, packed.shape[0] - 1)
+    rows = packed[bucket]                                 # (Q, 2, W)
+    eq = rows[:, 0, :] == qkeys[:, None]
+    hit = eq.any(1) & query_valid
+    idx = jnp.argmax(eq, 1)
+    res = jnp.take_along_axis(rows[:, 1, :], idx[:, None], 1)[:, 0]
+    return jnp.where(hit, res, -1)
+
+
 def neighbor_table(in_coords, in_valid, out_coords, out_valid, offsets,
                    in_stride=1):
     """(M_out, K) row indices into the input table (-1 = no neighbor).
 
     ``out_coords`` are in input-resolution units; each output voxel's
     tap t looks up ``out_coords + offsets[t] * in_stride``.
+
+    Taps run under ``lax.map`` (sequential) so the bucketed lookup's
+    per-tap (Q, W) buffers never coexist across all K taps.
     """
     skeys, order = build_key_table(in_coords, in_valid)
+    packed = _bucketed_table(skeys, order)
 
     def per_offset(off):
         q = out_coords + off[None, :] * in_stride
-        return lookup(skeys, order, q, out_valid)
+        return _lookup_bucketed(packed, q, out_valid)
 
-    return jax.vmap(per_offset)(offsets).T          # (M_out, K)
+    return jax.lax.map(per_offset, offsets).T       # (M_out, K)
 
 
 def sparse_conv_apply(feats, nbr, weights, bias=None):
