@@ -74,7 +74,7 @@ def _measure(step, state, batch, rng, iters, warmup, batch_size):
 
 
 def _make_state_and_step(cfg_name, batch, compute_dtype, grad_clip=None,
-                         frozen=True, tiny=False):
+                         frozen=True, tiny=False, model_overrides=None):
     import jax
     import demf_tpu.models  # noqa: F401
     from demf_tpu.utils.registry import DETECTORS, build_from_cfg
@@ -84,6 +84,8 @@ def _make_state_and_step(cfg_name, batch, compute_dtype, grad_clip=None,
     from demf_tpu.zoo import load_model_cfg
 
     cfg = load_model_cfg(cfg_name)
+    if model_overrides:
+        cfg.model.update(model_overrides)
     model = build_from_cfg(cfg.model, DETECTORS)
     variables = jax.jit(lambda r, b: model.init(r, b, train=True))(
         jax.random.PRNGKey(0), batch)
@@ -149,6 +151,18 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         vrate, _ = _measure(vstep, vstate, shard_batch(vbatch, vmesh), rng,
                             max(2, iters // 2), 1, batch_size)
         extras['votenet'] = round(vrate, 3)
+
+        # FCAF3D sparse-voxel detector (b8, 20k pts -> 16k voxel cap)
+        from demf_tpu.zoo import synth_fcaf3d_batch
+        fb = min(8, batch_size)
+        fbatch = synth_fcaf3d_batch(fb, num_points)
+        _, _, fstate, fstep, fmesh = _make_state_and_step(
+            'fcaf3d/fcaf3d_sunrgbd.py', fbatch, compute_dtype,
+            frozen=False,
+            model_overrides=dict(max_voxels=16384))
+        frate, _ = _measure(fstep, fstate, shard_batch(fbatch, fmesh),
+                            rng, max(2, iters // 2), 1, fb)
+        extras['fcaf3d'] = round(frate, 3)
 
         # host loader rate: full DeMF train pipeline (file read, image
         # resize/normalize/pad, point aug/sample, fixed-shape collate) on

@@ -146,6 +146,25 @@ def synth_detr2d_batch(b, hw=(800, 1344), g=20, seed=0):
         gt_bboxes_valid=jnp.asarray(rng.rand(b, g) < 0.8))
 
 
+def synth_fcaf3d_batch(b, p=20000, g=16, seed=0):
+    """Synthetic 6-dim (xyz+rgb) point batch for the FCAF3D family."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    pts = np.zeros((b, p, 6), np.float32)
+    pts[..., 0] = rng.uniform(-3, 3, (b, p))
+    pts[..., 1] = rng.uniform(0, 6, (b, p))
+    pts[..., 2] = rng.uniform(-1.8, 1.0, (b, p))
+    pts[..., 3:] = rng.rand(b, p, 3)
+    boxes = np.zeros((b, g, 7), np.float32)
+    boxes[..., :3] = rng.rand(b, g, 3) * 4 - 2
+    boxes[..., 1] += 2.5
+    boxes[..., 3:6] = rng.rand(b, g, 3) + 0.3
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (b, g))
+    return dict(points=jnp.asarray(pts), gt_bboxes_3d=jnp.asarray(boxes),
+                gt_labels_3d=jnp.asarray(rng.randint(0, 10, (b, g))),
+                gt_valid=jnp.asarray(np.ones((b, g), bool)))
+
+
 def synth_demf_batch(b, p=20000, g=32, hw=(800, 1344), seed=0,
                      valid_hw=None):
     """Synthetic full DeMF batch: points + image + calib/aug meta."""

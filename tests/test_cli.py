@@ -66,3 +66,19 @@ def test_demf_cached_train_cli(tmp_path):
     text = open(os.path.join(work_dir, logs[0])).read()
     assert 'image-feature cache active' in text
     assert 'center_loss' in text
+
+
+@pytest.mark.slow
+def test_demf_fcaf3d_train_cli(tmp_path):
+    """DeMF-FCAF3D sparse-voxel fusion training through the CLI with the
+    frozen image-feature cache active."""
+    import train as train_cli
+    cfg = os.path.join(REPO, 'configs/synthetic/demf_fcaf3d_tiny.py')
+    work_dir = str(tmp_path / 'demf_fcaf')
+    train_cli.main([cfg, '--work-dir', work_dir, '--seed', '0',
+                    '--no-validate'])
+    assert os.listdir(os.path.join(work_dir, 'checkpoints'))
+    logs = [f for f in os.listdir(work_dir) if f.endswith('.log')]
+    text = open(os.path.join(work_dir, logs[0])).read()
+    assert 'loss_bbox.f0' in text        # fusion-stage losses flowing
+    assert 'loss_cls' in text
