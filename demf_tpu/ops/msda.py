@@ -105,6 +105,19 @@ def _geometry(spatial_shapes, locs_c):
                 wslot=jnp.stack(ws, axis=-1), wvec=wvec, hvec=hvec)
 
 
+def _flat_rows(plane, idx):
+    """plane (B, H, N, C), idx (B, H, S) -> rows (B, H, S, C).
+
+    One flattened-axis gather instead of a (B, H)-batched
+    take_along_axis: measured 89 vs 65 M rows/s on v5e for the MSDA
+    row shape (bf16 128-channel rows).
+    """
+    b, h, n, c = plane.shape
+    base = (jnp.arange(b * h, dtype=jnp.int32) * n).reshape(b, h, 1)
+    rows = plane.reshape(b * h * n, c)[(idx + base).reshape(-1)]
+    return rows.reshape(b, h, idx.shape[2], c)
+
+
 def _fold_matrix(n_rep, hd, dtype):
     """(n_rep*hd, hd) block-stacked identity: sums n_rep groups of hd."""
     return jnp.tile(jnp.eye(hd, dtype=dtype), (n_rep, 1))
@@ -134,7 +147,7 @@ def _chunk_forward(plane, spatial_shapes, locs_c, aw_c, hd, compute_dtype):
     for lvl in range(nlv):
         s = qc * npts
         idx = geo['idx'][:, :, :, lvl].reshape(b, heads, s)
-        rows = jnp.take_along_axis(plane, idx[..., None], axis=2)
+        rows = _flat_rows(plane, idx)
         wfull = wattn[:, :, :, lvl].reshape(b, heads, s, 4)
         wfull = jnp.repeat(wfull.astype(compute_dtype), hd, axis=-1)
         weighted = rows.astype(compute_dtype) * wfull     # (B,h,S,4hd)
@@ -173,7 +186,7 @@ def _chunk_backward(plane, spatial_shapes, locs_c, aw_c, g_c, hd,
     Ds, idxs, upds = [], [], []
     for lvl in range(nlv):
         idx = geo['idx'][:, :, :, lvl].reshape(b, heads, s)
-        rows = jnp.take_along_axis(plane, idx[..., None], axis=2)
+        rows = _flat_rows(plane, idx)
         # per-slot dots D[..., slot] = <g, rows_slot>: fold hd groups on
         # the MXU (an (S, 4hd) x (4hd, 4) matmul) to avoid (..., 4, hd)
         # tile-padded temporaries
@@ -245,9 +258,8 @@ def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
             yi = y0i + dy
             ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            g = jnp.take_along_axis(
-                value_rows, idx[..., None].astype(jnp.int32),
-                axis=2).astype(out_dtype)
+            g = _flat_rows(value_rows,
+                           idx.astype(jnp.int32)).astype(out_dtype)
             wgt = (wx * wy * ok.astype(out_dtype))[..., None]
             out = g * wgt if out is None else out + g * wgt
     return out
@@ -349,21 +361,26 @@ def _make_msda(spatial_shapes, query_chunk, gather_dtype_name):
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
         gh = jnp.moveaxis(
             g.reshape(b, q, heads, hd).astype(jnp.float32), 2, 1)
-        barange = jnp.arange(b)[:, None, None]
-        harange = jnp.arange(heads)[None, :, None]
         # one buffer per level so the level scatters stay independent (a
-        # single shared buffer serializes them; measured ~10% slower)
+        # single shared buffer serializes them; measured ~10% slower).
+        # Buffers and indices are flattened over (B, heads, hw) — same
+        # rationale as _flat_rows, scatter side.
         starts = [0]
         for (h, w) in spatial_shapes:
             starts.append(starts[-1] + h * w)
-        dquad = tuple(jnp.zeros((b, heads, h * w, 4 * hd), jnp.float32)
+        dquad = tuple(jnp.zeros((b * heads * h * w, 4 * hd), jnp.float32)
                       for (h, w) in spatial_shapes)
+        bh_base = jnp.arange(b * heads, dtype=jnp.int32).reshape(
+            b, heads, 1)
 
         def scatter_all(bufs, idxs, upds):
-            return tuple(
-                buf.at[barange, harange, idx - start].add(upd)
-                for buf, idx, upd, start
-                in zip(bufs, idxs, upds, starts))
+            out = []
+            for buf, idx, upd, start, (h, w) in zip(
+                    bufs, idxs, upds, starts, spatial_shapes):
+                flat_idx = (bh_base * (h * w) + idx - start).reshape(-1)
+                out.append(buf.at[flat_idx].add(
+                    upd.reshape(-1, upd.shape[-1])))
+            return tuple(out)
 
         if q <= query_chunk:
             d_locs, d_aw, idxs, upds = _chunk_backward(
@@ -392,7 +409,8 @@ def _make_msda(spatial_shapes, query_chunk, gather_dtype_name):
 
         dval_levels = []
         for lvl, (h, w) in enumerate(spatial_shapes):
-            dv = _fold_quad_grad(dquad[lvl], h, w, hd)
+            dv = _fold_quad_grad(
+                dquad[lvl].reshape(b, heads, h * w, 4 * hd), h, w, hd)
             dval_levels.append(jnp.moveaxis(dv, 1, 2))    # (B,HW,heads,hd)
         d_value = jnp.concatenate(dval_levels, axis=1).astype(value.dtype)
         return (d_value, d_locs.astype(locs.dtype), d_aw.astype(aw.dtype))
