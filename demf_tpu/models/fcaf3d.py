@@ -56,17 +56,26 @@ class FCAF3DHead(nn.Module):
     cls_loss_weight: float = 1.0
     test_cfg: Any = None
 
-    def _out_block(self, st, cin, tensor_stride, name, train):
+    @staticmethod
+    def _level_nbr(coords, valid, tensor_stride):
+        """27-tap submanifold table for one level, built once per level
+        and shared by the up-block conv and the out-block conv."""
+        return jax.vmap(lambda c, v: S.neighbor_table(
+            c, v, c, v, S.kernel_offsets(3), in_stride=tensor_stride))(
+            coords, valid)
+
+    def _out_block(self, st, cin, tensor_stride, name, train, nbr=None):
         coords, valid, x = st
         w = _conv_param(self, f'{name}_conv', 3, cin, self.out_channels)
-        y = jax.vmap(lambda c, v, f: S.submanifold_conv(
-            c, v, f, w, tensor_stride=tensor_stride))(coords, valid, x)
+        y = S.submanifold_conv_batched(coords, valid, x, w,
+                                       tensor_stride=tensor_stride,
+                                       nbr=nbr)
         y = MaskedBatchNorm(name=f'{name}_bn')(y, valid, train)
         y = nn.elu(y)
         return coords, valid, jnp.where(valid[..., None], y, 0.0)
 
     def _up_block(self, coarse_st, fine_coords, fine_valid, cin, cout,
-                  fine_stride, name, train):
+                  fine_stride, name, train, nbr=None):
         """Generative transpose conv (k=2, s=2) restricted to the skip's
         occupied set + conv3 block, per FCAF3D's ``_make_up_block``."""
         cc, cv, cf = coarse_st
@@ -77,9 +86,8 @@ class FCAF3DHead(nn.Module):
         y = MaskedBatchNorm(name=f'{name}_tbn')(y, fine_valid, train)
         y = nn.elu(y)
         w = _conv_param(self, f'{name}_conv', 3, cout, cout)
-        y = jax.vmap(lambda c, v, f: S.submanifold_conv(
-            c, v, f, w, tensor_stride=fine_stride))(
-            fine_coords, fine_valid, y)
+        y = S.submanifold_conv_batched(fine_coords, fine_valid, y, w,
+                                       tensor_stride=fine_stride, nbr=nbr)
         y = MaskedBatchNorm(name=f'{name}_bn')(y, fine_valid, train)
         y = nn.elu(y)
         return jnp.where(fine_valid[..., None], y, 0.0)
@@ -107,17 +115,18 @@ class FCAF3DHead(nn.Module):
         x_st = None
         for i in range(n - 1, -1, -1):
             coords, valid, feats = backbone_outs[i]
+            nbr = self._level_nbr(coords, valid, strides[i])
             if i == n - 1:
                 x_st = backbone_outs[i]
             else:
                 up = self._up_block(x_st, coords, valid,
                                     self.in_channels[i + 1],
                                     self.in_channels[i], strides[i],
-                                    f'up_block_{i + 1}', train)
+                                    f'up_block_{i + 1}', train, nbr=nbr)
                 x_st = (coords, valid, feats + up)
             oc, ov, of = self._out_block(x_st, self.in_channels[i],
                                          strides[i], f'out_block_{i}',
-                                         train)
+                                         train, nbr=nbr)
             centerness = center_conv(of)[..., 0]               # (B, M)
             reg = reg_conv(of)                                 # (B, M, 8)
             bbox_pred = jnp.concatenate(

@@ -75,29 +75,35 @@ class SparseBasicBlock(nn.Module):
     tensor_stride: int = 1
 
     @nn.compact
-    def __call__(self, st, train: bool = False):
+    def __call__(self, st, train: bool = False, nbr=None):
+        """``nbr``: precomputed per-batch (B, M, 27) submanifold table at
+        this block's OUTPUT coordinates (stride-1 blocks only)."""
         coords, valid, x = st
         cin = x.shape[-1]
         ts = self.tensor_stride
         if self.stride > 1:
             w1 = _conv_param(self, 'conv1', 2, cin, self.channels)
-            coords_o, valid_o, y = jax.vmap(
-                lambda c, v, f: S.strided_conv(
-                    c, v, f, w1, stride=self.stride, kernel_size=2,
-                    max_out=max(1, c.shape[0] // 2),
-                    tensor_stride=ts))(coords, valid, x)
+            coords_o, valid_o, y = S.strided_conv_batched(
+                coords, valid, x, w1, stride=self.stride, kernel_size=2,
+                max_out=max(1, coords.shape[1] // 2), tensor_stride=ts)
             out_ts = ts * self.stride
         else:
             w1 = _conv_param(self, 'conv1', 3, cin, self.channels)
             coords_o, valid_o = coords, valid
-            y = jax.vmap(lambda c, v, f: S.submanifold_conv(
-                c, v, f, w1, tensor_stride=ts))(coords, valid, x)
+            y = S.submanifold_conv_batched(coords, valid, x, w1,
+                                           tensor_stride=ts, nbr=nbr)
             out_ts = ts
         y = MaskedBatchNorm(name='bn1')(y, valid_o, train)
         y = nn.relu(y)
+        if nbr is None:
+            # build the output-level table once; conv2 (and, via the
+            # return below, later blocks on this level) reuse it
+            nbr = jax.vmap(lambda c, v: S.neighbor_table(
+                c, v, c, v, S.kernel_offsets(3), in_stride=out_ts))(
+                coords_o, valid_o)
         w2 = _conv_param(self, 'conv2', 3, self.channels, self.channels)
-        y = jax.vmap(lambda c, v, f: S.submanifold_conv(
-            c, v, f, w2, tensor_stride=out_ts))(coords_o, valid_o, y)
+        y = S.submanifold_conv_batched(coords_o, valid_o, y, w2,
+                                       tensor_stride=out_ts, nbr=nbr)
         y = MaskedBatchNorm(name='bn2')(y, valid_o, train)
 
         if self.stride > 1 or cin != self.channels:
@@ -105,12 +111,10 @@ class SparseBasicBlock(nn.Module):
                 # Minkowski downsample branch = conv(k=1, s=2): each
                 # output voxel reads the input voxel AT its coordinate
                 wd = _conv_param(self, 'down', 1, cin, self.channels)
-                _, _, idn = jax.vmap(
-                    lambda c, v, f, oc, ov: (oc, ov, S.sparse_conv_apply(
-                        f, S.neighbor_table(c, v, oc, ov,
-                                            S.kernel_offsets(1),
-                                            in_stride=ts), wd)))(
-                    coords, valid, x, coords_o, valid_o)
+                dn_nbr = jax.vmap(lambda c, v, oc, ov: S.neighbor_table(
+                    c, v, oc, ov, S.kernel_offsets(1), in_stride=ts))(
+                    coords, valid, coords_o, valid_o)
+                idn = S.sparse_conv_apply_batched(x, dn_nbr, wd)
             else:
                 idn = nn.Dense(self.channels, use_bias=False,
                                name='down')(x)
@@ -119,7 +123,7 @@ class SparseBasicBlock(nn.Module):
             idn = x
         y = nn.relu(y + idn)
         y = jnp.where(valid_o[..., None], y, 0.0)
-        return coords_o, valid_o, y
+        return (coords_o, valid_o, y), nbr
 
 
 @BACKBONES.register_module()
@@ -148,28 +152,27 @@ class MinkResNet(nn.Module):
         # voxel_size=0.01)
         w = _conv_param(self, 'stem_conv', 3, feats.shape[-1],
                         self.stem_channels)
-        c_s, v_s, x = jax.vmap(lambda c, v, f: S.strided_conv(
-            c, v, f, w, stride=2, kernel_size=3,
-            max_out=max(1, c.shape[0] // 2), tensor_stride=1))(
-            coords, valid, feats)
+        c_s, v_s, x = S.strided_conv_batched(
+            coords, valid, feats, w, stride=2, kernel_size=3,
+            max_out=max(1, coords.shape[1] // 2), tensor_stride=1)
         x = MaskedBatchNorm(name='stem_bn')(x, v_s, train)
         x = nn.relu(x)
         st = (c_s, v_s, jnp.where(v_s[..., None], x, 0.0))
         ts = 2
         if self.pool:
-            st = jax.vmap(lambda c, v, f: S.sparse_max_pool(
-                c, v, f, max_out=max(1, c.shape[0] // 2),
-                tensor_stride=2))(*st)
+            st = S.sparse_max_pool_batched(
+                *st, max_out=max(1, c_s.shape[1] // 2), tensor_stride=2)
             ts = 4
 
         outs = []
         for si, n_blocks in enumerate(self._blocks()):
             channels = self.stem_channels * (2 ** si)
+            nbr = None   # per-stage submanifold table, built by block 0
             for bi in range(n_blocks):
-                st = SparseBasicBlock(
+                st, nbr = SparseBasicBlock(
                     channels=channels, stride=2 if bi == 0 else 1,
                     tensor_stride=ts,
-                    name=f'layer{si + 1}_{bi}')(st, train)
+                    name=f'layer{si + 1}_{bi}')(st, train, nbr=nbr)
                 if bi == 0:
                     ts *= 2
             outs.append(st)

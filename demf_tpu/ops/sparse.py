@@ -199,6 +199,46 @@ def sparse_conv_apply(feats, nbr, weights, bias=None):
     return out
 
 
+def sparse_conv_apply_batched(feats, nbr, weights, bias=None):
+    """Batched gather-matmul sparse conv: (B, M, C) x (B, Mo, K).
+
+    Same scan-over-taps formulation as ``sparse_conv_apply`` but with the
+    batch axis FLATTENED into the gather row axis: batched
+    take-along-axis gathers run ~65 M rows/s on v5e while single-axis
+    gathers run ~89 M rows/s (same rationale as ops/msda._flat_rows);
+    the autodiff transpose (scatter-add into dFeats) flattens the same
+    way.
+    """
+    b, m, c = feats.shape
+    flat = feats.reshape(b * m, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
+
+    def tap(acc, inp):
+        nbr_k, w_k = inp                       # (B, Mo), (C, Co)
+        idx = (jnp.where(nbr_k >= 0, nbr_k, 0) + base).reshape(-1)
+        g = flat[idx].reshape(b, nbr_k.shape[1], c)
+        g = jnp.where((nbr_k >= 0)[..., None], g, 0.0)
+        return acc + g @ w_k.astype(g.dtype), None
+
+    out0 = jnp.zeros((b, nbr.shape[1], weights.shape[2]), feats.dtype)
+    out, _ = jax.lax.scan(tap, out0, (jnp.moveaxis(nbr, 2, 0), weights))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def submanifold_conv_batched(coords, valid, feats, weights, bias=None,
+                             kernel_size=3, tensor_stride=1, nbr=None):
+    """Batched ``submanifold_conv``: tables per sample (vmapped index
+    math), features through the flattened batched gather path."""
+    if nbr is None:
+        offs = kernel_offsets(kernel_size)
+        nbr = jax.vmap(lambda c, v: neighbor_table(
+            c, v, c, v, offs, in_stride=tensor_stride))(coords, valid)
+    out = sparse_conv_apply_batched(feats, nbr, weights, bias)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
 def submanifold_conv(coords, valid, feats, weights, bias=None,
                      kernel_size=3, tensor_stride=1, nbr=None):
     """MinkowskiConvolution(stride=1) on the same coordinate set.
@@ -262,6 +302,51 @@ def strided_conv(coords, valid, feats, weights, bias=None, stride=2,
                          in_stride=tensor_stride)
     out = sparse_conv_apply(feats, nbr, weights, bias)
     return out_coords, out_valid, jnp.where(out_valid[:, None], out, 0.0)
+
+
+def strided_conv_batched(coords, valid, feats, weights, bias=None,
+                         stride=2, kernel_size=2, max_out=None,
+                         tensor_stride=1):
+    """Batched ``strided_conv`` (flattened feature gathers)."""
+    max_out = max_out or coords.shape[1]
+    offs = kernel_offsets(kernel_size)
+
+    def geo(c, v):
+        oc, ov = downsample_coords(c, v, stride * tensor_stride, max_out)
+        nbr = neighbor_table(c, v, oc, ov, offs, in_stride=tensor_stride)
+        return oc, ov, nbr
+
+    oc, ov, nbr = jax.vmap(geo)(coords, valid)
+    out = sparse_conv_apply_batched(feats, nbr, weights, bias)
+    return oc, ov, jnp.where(ov[..., None], out, 0.0)
+
+
+def sparse_max_pool_batched(coords, valid, feats, stride=2, kernel_size=2,
+                            max_out=None, tensor_stride=1):
+    """Batched ``sparse_max_pool`` (flattened feature gathers)."""
+    max_out = max_out or coords.shape[1]
+    offs = kernel_offsets(kernel_size)
+
+    def geo(c, v):
+        oc, ov = downsample_coords(c, v, stride * tensor_stride, max_out)
+        nbr = neighbor_table(c, v, oc, ov, offs, in_stride=tensor_stride)
+        return oc, ov, nbr
+
+    oc, ov, nbr = jax.vmap(geo)(coords, valid)
+    b, m, c = feats.shape
+    flat = feats.reshape(b * m, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
+
+    def tap(acc, nbr_k):
+        idx = (jnp.where(nbr_k >= 0, nbr_k, 0) + base).reshape(-1)
+        g = flat[idx].reshape(b, nbr_k.shape[1], c)
+        g = jnp.where((nbr_k >= 0)[..., None], g, -jnp.inf)
+        return jnp.maximum(acc, g), None
+
+    out0 = jnp.full((b, nbr.shape[1], c), -jnp.inf, feats.dtype)
+    out, _ = jax.lax.scan(tap, out0, jnp.moveaxis(nbr, 2, 0))
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
+    return oc, ov, jnp.where(ov[..., None], out, 0.0)
 
 
 def transposed_conv_to(coords_fine, valid_fine, coords_coarse,
