@@ -258,8 +258,12 @@ def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
             yi = y0i + dy
             ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            g = _flat_rows(value_rows,
-                           idx.astype(jnp.int32)).astype(out_dtype)
+            # narrow rows (hd=32, 64 B): the flattened-axis form is
+            # neutral-to-worse here (35 vs 37 M rows/s measured), so the
+            # batched gather stays; _flat_rows wins only at quad width
+            g = jnp.take_along_axis(
+                value_rows, idx[..., None].astype(jnp.int32),
+                axis=2).astype(out_dtype)
             wgt = (wx * wy * ok.astype(out_dtype))[..., None]
             out = g * wgt if out is None else out + g * wgt
     return out
