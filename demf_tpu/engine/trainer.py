@@ -50,7 +50,8 @@ def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
     fp32 master params, bf16 forward/backward, fp32 losses/targets — see
     utils/precision.py.
     """
-    from ..utils.precision import cast_batch, cast_floating
+    from ..utils.precision import (cast_batch, cast_floating,
+                                   compute_dtype_scope)
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
@@ -61,9 +62,12 @@ def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
-            results, mutated = model.apply(
-                variables, net_batch, train=True, mutable=['batch_stats'],
-                rngs={'sample': rng, 'dropout': jax.random.fold_in(rng, 1)})
+            with compute_dtype_scope(compute_dtype):
+                results, mutated = model.apply(
+                    variables, net_batch, train=True,
+                    mutable=['batch_stats'],
+                    rngs={'sample': rng,
+                          'dropout': jax.random.fold_in(rng, 1)})
             if compute_dtype is not None:
                 # fp32 loss island (the @force_fp32 equivalent)
                 results = cast_floating(results, 'float32')
@@ -89,7 +93,8 @@ def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
 
 
 def make_eval_step(model, compute_dtype: Optional[str] = None):
-    from ..utils.precision import cast_batch, cast_floating
+    from ..utils.precision import (cast_batch, cast_floating,
+                                   compute_dtype_scope)
 
     def eval_step(state: TrainState, batch):
         params = state.params
@@ -100,7 +105,8 @@ def make_eval_step(model, compute_dtype: Optional[str] = None):
         variables = {'params': params}
         if state.batch_stats:
             variables['batch_stats'] = state.batch_stats
-        results = model.apply(variables, net_batch, train=False)
+        with compute_dtype_scope(compute_dtype):
+            results = model.apply(variables, net_batch, train=False)
         if compute_dtype is not None:
             results = cast_floating(results, 'float32')
         return model.get_bboxes(results, batch)

@@ -27,6 +27,7 @@ import numpy as np
 from ..core.rotated_iou import iou3d_aligned
 from ..core.transforms import project_points_to_image
 from ..ops import sparse as S
+from ..utils.precision import cast_compute
 from ..utils.registry import (BACKBONES, DETECTORS, HEADS, NECKS,
                               build_from_cfg)
 from .fcaf3d import FCAF3DHead, optax_bce
@@ -279,6 +280,8 @@ class DeMFFcaf3D(nn.Module):
             return img_features
 
         coords, feats, valid = self._voxelize(batch['points'])
+        # coords from fp32 points; pooled features go to the policy dtype
+        feats = cast_compute(feats)
         backbone = build_from_cfg(dict(self.backbone), BACKBONES,
                                   {'name': 'backbone'})
         outs = backbone(coords, valid, feats, train=train)

@@ -32,6 +32,7 @@ import numpy as np
 from ..core.rotated_iou import iou3d_aligned, rotated_nms_3d
 from ..ops import sparse as S
 from ..ops.nms import _greedy_suppress
+from ..utils.precision import cast_compute
 from ..utils.registry import BACKBONES, DETECTORS, HEADS, build_from_cfg
 from .losses import FocalLoss, weight_reduce_loss
 from .mink_resnet import MaskedBatchNorm, MinkResNet, _conv_param
@@ -370,6 +371,9 @@ class FCAF3D(nn.Module):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         coords, feats, valid = self._voxelize(batch['points'])
+        # voxel coords came from fp32 points; only the pooled features go
+        # onto the policy compute dtype (utils/precision.py)
+        feats = cast_compute(feats)
         bcfg = dict(self.backbone or {})
         backbone = build_from_cfg(bcfg, BACKBONES, {'name': 'backbone'})
         outs = backbone(coords, valid, feats, train=train)

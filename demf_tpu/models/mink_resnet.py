@@ -7,7 +7,8 @@ ops of ops/sparse.py, batched with ``jax.vmap`` (each scene owns its own
 coordinate table).  Topology mirrors mmdet3d MinkResNet(depth=34,
 in_channels, num_stages=4, pool=True):
 
-    stem:   conv(k=3, s=1) + BN + ReLU, then 2x2x2 stride-2 max-pool
+    stem:   conv(k=3, s=2) + BN + ReLU, then 2x2x2 stride-2 max-pool
+            (stages land at tensor strides 8/16/32/64)
     stage i: BasicBlock x (3, 4, 6, 3), first block stride 2
     outputs: per-stage sparse tensors, channels (64, 128, 256, 512)
 

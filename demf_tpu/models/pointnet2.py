@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops.grouping import ball_query
 from ..ops.interpolate import three_nn_interpolate
 from ..ops.sampling import furthest_point_sample
+from ..utils.precision import cast_compute
 from ..utils.registry import BACKBONES, SA_MODULES
 
 
@@ -102,9 +103,13 @@ class PointSAModule(nn.Module):
         if features is not None:
             grouped = group_points_last(features, idx)
             if self.use_xyz:
-                grouped = jnp.concatenate([grouped_xyz, grouped], -1)
+                grouped = jnp.concatenate(
+                    [grouped_xyz.astype(grouped.dtype), grouped], -1)
         else:
             grouped = grouped_xyz
+        # coordinate math is done; put the MLP inputs on the policy dtype
+        # (raw points stay fp32 through FPS/ball-query — utils/precision.py)
+        grouped = cast_compute(grouped)
 
         mlp_out_channels = list(self.mlp_channels[1:])
         out = SharedMLP(mlp_out_channels, name='mlps')(grouped, train)

@@ -5,27 +5,35 @@ TPU-native replacement for the reference's per-step host sync: mmdet's
 every image every step (reference stage-1 pretrain,
 mmdet/core/bbox/assigners/hungarian_assigner.py via
 configs/deformdetr/imvotenet_image.py).  Here the solve runs ON DEVICE
-inside the jitted train step — a parallel (Jacobi) auction with
-epsilon-scaling [Bertsekas 1988], which is all dense vector ops + a
-bounded ``lax.while_loop``, so it compiles cleanly under XLA and vmaps
-over the batch.
+inside the jitted train step -- a parallel (Jacobi) forward auction
+[Bertsekas 1988], which is all dense vector ops + a bounded
+``lax.while_loop``, so it compiles cleanly under XLA and vmaps over the
+batch.
 
-Guarantee: the returned assignment's total cost is within ``n_rows * eps``
-of optimal (standard eps-complementary-slackness argument, valid here
-because prices start at zero and rows < columns).  The default eps keeps
-that bound at ~1% of the cost range; on DETR-scale problems (Q=300
-queries >> G gts, generic float costs) the solve converges in a handful
-of iterations and ties scipy's exact optimum (see
-tests/test_assignment.py).  NOTE: price carryover across epsilon phases —
-the classic symmetric-auction speedup — is intentionally absent: with
-rows < columns it breaks the optimality bound (stale high prices on
-columns nobody re-bids make the comparison sum invalid), measured as a
-3x cost blowup before removal.
+Guarantee: total cost within ``G * eps`` of optimal.  The standard
+eps-complementary-slackness argument extends to the asymmetric case
+(G rows < Q columns) here because prices start at ZERO and a column that
+ever receives a bid is assigned from then on (eviction coincides with
+reassignment): at termination every positively-priced column is in the
+solution, so the price terms in the duality bound cancel with the right
+sign.  TWO precision pitfalls actually break the bound in practice
+(advisor round 2; both regression-tested in tests/test_assignment.py):
+
+* the epsilon scale must come from REAL entries only -- detr_head pads
+  invalid gt rows with a 1e6 sentinel cost, which inflates the range
+  (hence eps) ~1e4x and degenerates the solve to greedy matching;
+* the sentinel itself must be CLAMPED to unit scale before solving:
+  float32 nets at the 1e6 scale quantize at ~0.0625, so padding-row bids
+  each carry up to that much rounding error -- measured as an
+  eps-INDEPENDENT 7.6% excess over scipy even though exact-arithmetic
+  eps-CS held.  Padding rows are uniform (indifferent), so replacing the
+  sentinel with "strictly worse than any real entry, at unit scale"
+  changes the optimum restricted to real rows by nothing.
 
 Shapes are static: (G rows = padded gt) x (Q columns = queries), G <= Q.
-Invalid (padding) rows should carry a large constant cost so they absorb
-leftover columns without influencing real rows — identical convention to
-the host path in models/detr_head.py.
+Invalid (padding) rows should carry a large constant cost (>= 1e5) so
+they absorb leftover columns without influencing real rows -- identical
+convention to the host path in models/detr_head.py.
 """
 from __future__ import annotations
 
@@ -38,7 +46,7 @@ NEG = -1e30
 
 
 def _auction_phase(values, prices, eps, max_iters):
-    """One epsilon phase: all rows start unassigned; prices persist.
+    """Jacobi forward auction: all rows start unassigned.
 
     values: (G, Q) maximization values. prices: (Q,).
     Returns (assigned_col (G,), prices).
@@ -80,27 +88,41 @@ def _auction_phase(values, prices, eps, max_iters):
     init = (jnp.full((g,), -1, jnp.int32), prices, jnp.zeros((), jnp.int32))
     assigned_col, prices, _ = jax.lax.while_loop(cond, body, init)
     # safety net: any rows still unassigned after max_iters grab their
-    # best column ignoring ownership (cannot happen under the iteration
-    # bound below; keeps the result well-formed regardless)
+    # best column ignoring ownership (keeps the result well-formed; the
+    # iteration bound is far above observed convergence)
     fallback = jnp.argmax(values - prices[None, :], -1).astype(jnp.int32)
     assigned_col = jnp.where(assigned_col < 0, fallback, assigned_col)
     return assigned_col, prices
 
 
 @functools.partial(jax.jit, static_argnames=('eps_frac', 'max_iters'))
-def auction_assign(cost, eps_frac=0.01, max_iters=20000):
+def auction_assign(cost, eps_frac=0.002, max_iters=50000):
     """Minimize ``sum_i cost[i, col_i]`` over distinct columns, on device.
 
     Args:
-        cost: (G, Q) float matrix, G <= Q.
-        eps_frac: suboptimality budget as a fraction of the cost range
-            (bound: total cost within ``eps_frac * range`` of optimal).
+        cost: (G, Q) float matrix, G <= Q.  Entries >= 1e5 are treated as
+            padding sentinels (see module docstring).
+        eps_frac: suboptimality budget as a fraction of the REAL cost
+            range (bound: total cost within ``eps_frac * range`` of
+            optimal).
     Returns:
         (G,) int32 assigned column per row.
     """
     g, q = cost.shape
-    values = -cost.astype(jnp.float32)
-    rng = jnp.maximum(values.max() - values.min(), 1e-6)
+    cost = cost.astype(jnp.float32)
+    # epsilon scale + sentinel clamp from REAL entries only
+    real = cost < 1e5
+    any_real = jnp.any(real)
+    cmax = jnp.max(jnp.where(real, cost, -jnp.inf))
+    cmin = jnp.min(jnp.where(real, cost, jnp.inf))
+    rng = jnp.where(any_real, jnp.maximum(cmax - cmin, 1e-6),
+                    jnp.float32(1.0))
+    # clamp sentinels to unit scale, strictly worse than any real entry
+    # (padding rows stay uniform => indifferent => real-row optimum
+    # unchanged; float32 nets keep full precision)
+    sentinel = jnp.where(any_real, cmax + rng + 1.0, jnp.float32(1.0))
+    cost = jnp.where(real, cost, sentinel)
+    values = -cost
     eps = rng * eps_frac / g
     assigned, _ = _auction_phase(values, jnp.zeros((q,), jnp.float32),
                                  eps, max_iters)

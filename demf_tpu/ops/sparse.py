@@ -56,19 +56,27 @@ def voxelize(points, features, voxel_size, pc_start, max_voxels):
     """
     n = points.shape[0]
     vs = jnp.asarray(voxel_size, jnp.float32)
-    coords = jnp.floor((points - jnp.asarray(pc_start)) / vs).astype(
-        jnp.int32)
-    coords = jnp.clip(coords, 0, MAX_COORD)
-    keys = linearize(coords)
+    raw = jnp.floor(
+        (points.astype(jnp.float32) - jnp.asarray(pc_start)) / vs)
+    # points outside the grid are DROPPED (MinkowskiEngine keeps arbitrary
+    # coordinates; our packed-key table cannot, and clamping them into edge
+    # voxels would pollute edge-voxel mean features) — they sort to the end
+    # via a max-key sentinel and their segment id overflows to m (scatter
+    # drops out-of-bounds ids under jit)
+    in_range = jnp.all((raw >= 0) & (raw <= MAX_COORD), axis=-1)   # (N,)
+    coords = jnp.clip(raw, 0, MAX_COORD).astype(jnp.int32)
+    keys = jnp.where(in_range, linearize(coords), jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(keys)
     skeys = keys[order]
     sfeat = features[order]
     scoord = coords[order]
+    sin_range = in_range[order]
     heads = jnp.concatenate(
         [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
     # segment ids: one per unique voxel, in sorted order
     seg = jnp.cumsum(heads) - 1                            # (N,)
     m = max_voxels
+    seg = jnp.where(sin_range, seg, m)                     # drop out-of-range
     feat_sum = jax.ops.segment_sum(sfeat, seg, num_segments=m)
     cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), seg,
                               num_segments=m)

@@ -8,8 +8,17 @@ bf16 compute policy with fp32 master weights and fp32 loss islands:
 * master params stay fp32 in the optimizer state; the train step casts a
   bf16 COPY for the forward/backward (gradients flow through the cast and
   arrive fp32);
-* network inputs (points / images / cached features) are cast to bf16;
-  ground truth, calibration matrices and all loss/target math stay fp32
+* network inputs (images / cached features) are cast to bf16; raw
+  ``points`` stay fp32 — bf16 has 8 mantissa bits, so at SUN RGB-D range
+  (~5 m) the quantization step is ~2 cm, which corrupts voxelization at
+  voxel_size=0.01 and FPS/ball-query index math.  Instead the point
+  branch casts *derived features* to the active compute dtype after the
+  coordinate math (PointSAModule grouping output, FCAF3D voxel features)
+  via the ``compute_dtype_scope`` below, keeping the MXU matmuls bf16
+  while geometry stays fp32 — matching the reference's fp16 surface,
+  which also keeps coordinates fp32 (mmcv auto_fp16 casts module inputs,
+  not the raw batch);
+* ground truth, calibration matrices and all loss/target math stay fp32
   (the ``@force_fp32`` equivalent — ``model.loss`` always receives fp32
   predictions via ``cast_floating(results, float32)``);
 * modules are DTYPE-PRESERVING: flax norm layers force fp32 reductions
@@ -25,13 +34,51 @@ policy here.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 # batch keys the network consumes (cast under the policy); everything else
-# (gt boxes/labels, masks, calibration in img_meta) stays fp32 for the
-# target-assignment and projection math
-_CASTABLE_BATCH_KEYS = ('points', 'img', 'img_features')
+# (points — see module docstring — gt boxes/labels, masks, calibration in
+# img_meta) stays fp32 for coordinate / target-assignment / projection math
+_CASTABLE_BATCH_KEYS = ('img', 'img_features')
+
+# Active compute dtype during a policy-scoped forward trace.  Set by the
+# train/eval steps (engine/trainer.py) around ``model.apply``; read by
+# point-branch modules to cast derived features (NOT coordinates) onto the
+# bf16 MXU path.  Plain module global is correct here: the scope is active
+# exactly while jit traces the step, and compute_dtype is trace-static.
+_ACTIVE_COMPUTE_DTYPE = None
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+    """Mark ``dtype`` as the active compute dtype for the enclosed trace."""
+    global _ACTIVE_COMPUTE_DTYPE
+    prev = _ACTIVE_COMPUTE_DTYPE
+    _ACTIVE_COMPUTE_DTYPE = dtype
+    try:
+        yield
+    finally:
+        _ACTIVE_COMPUTE_DTYPE = prev
+
+
+def active_compute_dtype():
+    """The scope's dtype, or None outside any policy scope."""
+    return _ACTIVE_COMPUTE_DTYPE
+
+
+def cast_compute(x):
+    """Cast an array to the active compute dtype (no-op outside a scope).
+
+    Call sites: feature tensors whose *coordinate math is already done* —
+    grouped/recentered point features before the SA MLPs, mean-pooled voxel
+    features before the sparse backbone.
+    """
+    if _ACTIVE_COMPUTE_DTYPE is None:
+        return x
+    return x.astype(_ACTIVE_COMPUTE_DTYPE)
 
 
 def cast_floating(tree, dtype):

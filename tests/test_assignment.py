@@ -100,3 +100,21 @@ def test_detr_loss_device_solver_close_to_scipy():
     t_dev = float(sum(jnp.asarray(v) for v in l_dev.values()))
     t_host = float(sum(jnp.asarray(v) for v in l_host.values()))
     assert t_dev == pytest.approx(t_host, rel=0.02), (t_dev, t_host)
+
+
+@pytest.mark.parametrize('seed', list(range(10)))
+def test_auction_padding_rows_epsilon_scale(seed):
+    """Regression (advisor round 2): eps derived from the full cost range
+    includes the 1e6 padding sentinel, making eps ~ 1e4/G and degenerating
+    the solve to greedy matching — measured up to 9% over scipy.  With eps
+    from REAL entries only the gap must stay within the documented 0.1%
+    bound for every seed (advisor's exact scenario: G=32, 16 real, Q=64)."""
+    rng = np.random.RandomState(seed)
+    g, q, real = 32, 64, 16
+    cost = np.full((g, q), 1e6, np.float32)
+    cost[:real] = rng.rand(real, q).astype(np.float32)
+    col = np.asarray(auction_assign(jnp.asarray(cost)))
+    assert len(set(col.tolist())) == g
+    got = cost[np.arange(real), col[:real]].sum()
+    opt = _opt_cost(cost[:real])
+    assert got <= opt * 1.001 + 1e-4, (seed, got, opt)

@@ -194,3 +194,27 @@ def test_bf16_policy_eval_step():
     # same top-score box class/validity plumbing survives the cast
     assert det16['boxes_3d'].shape == det32['boxes_3d'].shape
     assert bool(np.isfinite(np.asarray(det16['scores_3d'])).all())
+
+
+def test_bf16_policy_keeps_points_fp32():
+    """Advisor round 2: bf16 has 8 mantissa bits — at 5 m the quantization
+    step (~2 cm) exceeds FCAF3D's 1 cm voxel, so raw points must stay fp32
+    through coordinate math; only derived features take the policy dtype
+    (utils/precision.py)."""
+    from demf_tpu.utils.precision import (cast_batch, cast_compute,
+                                          compute_dtype_scope)
+    pts = jnp.asarray(np.linspace(4.0, 5.0, 256, dtype=np.float32))
+    batch = {'points': pts, 'img': jnp.zeros((2, 4, 4, 3), jnp.float32)}
+    out = cast_batch(batch, 'bfloat16')
+    assert out['points'].dtype == jnp.float32
+    assert out['img'].dtype == jnp.bfloat16
+    # the hazard is real: bf16 round-trip shifts 1 cm voxel coords
+    c32 = np.floor(np.asarray(pts) / 0.01)
+    c16 = np.floor(np.asarray(
+        pts.astype(jnp.bfloat16).astype(jnp.float32)) / 0.01)
+    assert (c32 != c16).any()
+    # derived features cast only inside the policy scope
+    x = jnp.zeros((4,), jnp.float32)
+    with compute_dtype_scope('bfloat16'):
+        assert cast_compute(x).dtype == jnp.bfloat16
+    assert cast_compute(x).dtype == jnp.float32

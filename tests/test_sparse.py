@@ -172,3 +172,33 @@ def test_gradients_flow():
                                             jnp.asarray(w))
     assert np.isfinite(np.asarray(gf)).all()
     assert float(jnp.abs(gf).sum()) > 0 and float(jnp.abs(gw).sum()) > 0
+
+
+def test_voxelize_drops_out_of_range_points():
+    """Advisor round 2: out-of-range points must be EXCLUDED from the
+    voxel table (MinkowskiEngine keeps arbitrary coords; our packed table
+    cannot, and clamping them into boundary voxels polluted edge-voxel
+    mean features)."""
+    rng = np.random.RandomState(5)
+    pts_in = rng.rand(64, 3).astype(np.float32) * 2 - 1      # [-1, 1)
+    # below pc_start (negative voxel coords: previously clamped into the
+    # 0-boundary voxel) and beyond the packable bound (previously clamped
+    # into the MAX_COORD edge voxel)
+    pts_out = np.array([[-9.0, 0.5, 0.5], [0.5, -2.0, 0.5],
+                        [0.5, 0.5, 1e6]], np.float32)
+    pts = np.concatenate([pts_in, pts_out], 0)
+    feats = np.concatenate(
+        [np.ones((64, 2), np.float32),
+         np.full((3, 2), 1000.0, np.float32)], 0)            # poison marker
+    coords, vfeats, valid = jax.jit(
+        S.voxelize, static_argnames=('max_voxels',))(
+        jnp.asarray(pts), jnp.asarray(feats), 0.25,
+        jnp.asarray([-1., -1., -1.]), max_voxels=128)
+    coords, vfeats, valid = (np.asarray(coords), np.asarray(vfeats),
+                             np.asarray(valid))
+    # all valid voxels hold the clean mean (1.0): no poison leaked in
+    np.testing.assert_allclose(vfeats[valid], 1.0, atol=1e-6)
+    # the in-range voxel set is exactly reproduced
+    ref = {tuple(c) for c in np.floor((pts_in + 1) / 0.25).astype(np.int32)}
+    got = {tuple(c) for c in coords[valid]}
+    assert got == ref
