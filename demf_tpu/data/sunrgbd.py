@@ -163,9 +163,15 @@ class SyntheticSUNRGBD:
     on a few labeled boxes, so a detector can actually (over)fit.
     """
 
+    # class-colored rendering palette (render_boxes=True)
+    PALETTE = np.array(
+        [[230, 30, 30], [30, 230, 30], [30, 30, 230], [230, 230, 30],
+         [230, 30, 230], [30, 230, 230], [230, 140, 30], [140, 30, 230],
+         [30, 140, 140], [140, 140, 30]], np.uint8)
+
     def __init__(self, num_scenes=64, num_raw_points=24000, max_boxes=8,
                  image_hw=(480, 640), pipeline=None, classes=None, seed=0,
-                 test_mode=False, **kwargs):
+                 test_mode=False, render_boxes=False, **kwargs):
         self.num_scenes = num_scenes
         self.num_raw_points = num_raw_points
         self.max_boxes = max_boxes
@@ -174,6 +180,12 @@ class SyntheticSUNRGBD:
         self.CLASSES = tuple(classes) if classes else SUNRGBD_CLASSES
         self.pipeline = Compose(pipeline) if pipeline else None
         self.test_mode = test_mode
+        # render_boxes: draw each gt box's projected 2D rectangle filled
+        # with a class-specific color, so the image actually carries
+        # class+location evidence at the fusion head's reference points
+        # (used by the DeMF / ImVoteNet learning proofs,
+        # tools/overfit_check.py; mirrors tools/overfit_2d.py's scenes)
+        self.render_boxes = render_boxes
 
     def __len__(self):
         return self.num_scenes
@@ -216,6 +228,14 @@ class SyntheticSUNRGBD:
         depth2img = k @ (_DEPTH2CAM @ rt.T)
         mat = np.eye(4, dtype=np.float32)
         mat[:3, :3] = depth2img
+        if self.render_boxes:
+            img = (rng.rand(h, w, 3) * 40 + 108).astype(np.uint8)  # gray bg
+            boxes2d, keep = self._project_boxes_2d(boxes, mat, (h, w))
+            for i in np.argsort(-boxes[:, 1]):      # far-to-near overdraw
+                if not keep[i]:
+                    continue
+                x1, y1, x2, y2 = boxes2d[i].astype(np.int32)
+                img[y1:y2 + 1, x1:x2 + 1] = self.PALETTE[labels[i] % 10]
         return raw, img, mat, boxes, labels
 
     @staticmethod

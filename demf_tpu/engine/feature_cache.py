@@ -29,15 +29,24 @@ def compute_image_features(model, variables, batch):
 
 
 class FeatureCache:
-    def __init__(self, cache_dir):
+    def __init__(self, cache_dir, ram_budget_bytes=2 << 30):
+        """Disk cache of per-scene feature levels with a bounded RAM layer.
+
+        The RAM layer avoids re-reading the npz every epoch — on small
+        overfit/benchmark datasets the whole cache fits, and the per-step
+        loader cost drops from npz-decode to a dict lookup.
+        """
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
+        self._ram = {}
+        self._ram_bytes = 0
+        self._ram_budget = ram_budget_bytes
 
     def path(self, scene_id):
         return os.path.join(self.cache_dir, f'{scene_id}.npz')
 
     def has(self, scene_id):
-        return os.path.exists(self.path(scene_id))
+        return scene_id in self._ram or os.path.exists(self.path(scene_id))
 
     def save(self, scene_id, feats: Sequence[np.ndarray]):
         np.savez(self.path(scene_id),
@@ -45,9 +54,16 @@ class FeatureCache:
                     for i, f in enumerate(feats)})
 
     def load(self, scene_id):
+        if scene_id in self._ram:
+            return self._ram[scene_id]
         with np.load(self.path(scene_id)) as z:
-            return tuple(z[f'lvl{i}'].astype(np.float32)
-                         for i in range(len(z.files)))
+            out = tuple(z[f'lvl{i}'].astype(np.float32)
+                        for i in range(len(z.files)))
+        size = sum(f.nbytes for f in out)
+        if self._ram_bytes + size <= self._ram_budget:
+            self._ram[scene_id] = out
+            self._ram_bytes += size
+        return out
 
 
 def precompute_dataset_features(model, variables, dataset, cache,

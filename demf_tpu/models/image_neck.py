@@ -37,7 +37,10 @@ class ChannelMapper(nn.Module):
                         padding=pad, use_bias=not use_norm,
                         name=f'convs_{i}')(x)
             if use_norm:
-                y = nn.GroupNorm(num_groups=num_groups,
+                # eps 1e-5 = torch GroupNorm default (flax default is 1e-6;
+                # the mismatch cost 2e-3 per level in the whole-model
+                # forward-parity test)
+                y = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
                                  name=f'gn_{i}')(y).astype(x.dtype)
             if self.act_cfg is not None:
                 y = nn.relu(y)
@@ -49,7 +52,7 @@ class ChannelMapper(nn.Module):
                         use_bias=not use_norm,
                         name=f'extra_convs_{i}')(src)
             if use_norm:
-                y = nn.GroupNorm(num_groups=num_groups,
+                y = nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
                                  name=f'extra_gn_{i}')(y).astype(src.dtype)
             if self.act_cfg is not None:
                 y = nn.relu(y)

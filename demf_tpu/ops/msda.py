@@ -40,6 +40,7 @@ x 4 points): forward 2.9 s -> ~0.9 s; backward OOM -> ~1.7 s.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -444,8 +445,14 @@ def multi_scale_deformable_attention(value, spatial_shapes,
         (B, Q, heads * head_dim) in value.dtype.
     """
     if gather_dtype is None:
-        gather_dtype = (jnp.bfloat16 if value.dtype == jnp.float32
-                        else value.dtype)
+        # parity escape hatch: DEMF_TPU_MSDA_F32=1 keeps the sampling
+        # planes fp32 (bit-exact vs the torch reference; used by the
+        # whole-model forward-parity test) at 2x gather traffic
+        if os.environ.get('DEMF_TPU_MSDA_F32'):
+            gather_dtype = value.dtype
+        else:
+            gather_dtype = (jnp.bfloat16 if value.dtype == jnp.float32
+                            else value.dtype)
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
     q = sampling_locations.shape[1]
     nlv, npts = sampling_locations.shape[3], sampling_locations.shape[4]

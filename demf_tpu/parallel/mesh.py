@@ -20,7 +20,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
-    """Multi-host process-group setup (NCCL ``init_dist`` equivalent)."""
+    """Multi-host process-group setup (NCCL ``init_dist`` equivalent).
+
+    Resolution order per field: explicit argument -> ``JAX_COORDINATOR_
+    ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars (what a
+    pod launcher exports on every worker; see docs/MULTIHOST.md) -> JAX
+    auto-detection (TPU-VM metadata / SLURM), mirroring how mmcv
+    ``init_dist`` reads the torch.distributed.launch env.
+    """
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if num_processes is None and os.environ.get('JAX_NUM_PROCESSES'):
+        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
+    if process_id is None and os.environ.get('JAX_PROCESS_ID'):
+        process_id = int(os.environ['JAX_PROCESS_ID'])
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -48,9 +48,9 @@ class ConvModule2d(nn.Module):
 class ConvModuleGN(nn.Module):
     """mmcv ConvModule(Conv2d + GN): children named conv / gn."""
 
-    def __init__(self, cin, cout, k):
+    def __init__(self, cin, cout, k, stride=1, padding=0):
         super().__init__()
-        self.conv = nn.Conv2d(cin, cout, k, bias=False)
+        self.conv = nn.Conv2d(cin, cout, k, stride, padding, bias=False)
         self.gn = nn.GroupNorm(32, cout)
 
 
@@ -216,7 +216,11 @@ class ChannelMapperMimic(nn.Module):
         super().__init__()
         self.convs = nn.ModuleList(
             [ConvModuleGN(c, dims, 1) for c in ins])
-        self.extra_convs = nn.ModuleList([ConvModuleGN(ins[-1], dims, 3)])
+        # mmdet ChannelMapper extra level: 3x3 stride-2 pad-1 conv (the
+        # kernel SHAPE is stride-agnostic, so only the forward-parity test
+        # can catch this; key-coverage alone cannot)
+        self.extra_convs = nn.ModuleList(
+            [ConvModuleGN(ins[-1], dims, 3, stride=2, padding=1)])
 
 
 class PointNet2Mimic(nn.Module):
