@@ -134,6 +134,7 @@ class CAVoteHead(nn.Module):
             num_point=agg['num_point'], radius=agg['radius'],
             num_sample=agg['num_sample'], use_xyz=agg.get('use_xyz', True),
             normalize_xyz=agg.get('normalize_xyz', False),
+            ball_query_exact=agg.get('ball_query_exact', False),
             name='vote_aggregation')
 
         if sample_mod == 'vote':

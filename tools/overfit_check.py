@@ -111,7 +111,20 @@ def build_setup(model_kind, batch_size):
     return cfg, pipeline, {}, batch_size, False
 
 
-def main(steps=200, batch_size=16, model_kind='votenet'):
+def _set_ball_query_exact(node, exact):
+    """Recursively set ball_query_exact in every sa_cfg /
+    vote_aggregation_cfg of a model config (the A/B knob for the
+    nearest-K-vs-first-K deviation, ops/grouping.py)."""
+    if not isinstance(node, dict):
+        return
+    for k, v in node.items():
+        if k in ('sa_cfg', 'vote_aggregation_cfg') and isinstance(v, dict):
+            v['ball_query_exact'] = exact
+        _set_ball_query_exact(v, exact)
+
+
+def main(steps=200, batch_size=16, model_kind='votenet',
+         ball_query=None):
     import jax
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
@@ -124,6 +137,9 @@ def main(steps=200, batch_size=16, model_kind='votenet'):
 
     cfg, pipeline, ds_kwargs, batch_size, uses_image = build_setup(
         model_kind, batch_size)
+    if ball_query is not None:
+        _set_ball_query_exact(cfg.model, ball_query == 'exact')
+        print(f'ball query mode: {ball_query}', flush=True)
 
     max_gt = 16
     ds = build_dataset(dict(type='SyntheticSUNRGBD', num_scenes=32,
@@ -259,4 +275,7 @@ if __name__ == '__main__':
         kind = sys.argv[sys.argv.index('--model') + 1]
     if '--batch-size' in sys.argv:
         bs = int(sys.argv[sys.argv.index('--batch-size') + 1])
-    main(steps=steps, batch_size=bs, model_kind=kind)
+    bq = None
+    if '--ball-query' in sys.argv:
+        bq = sys.argv[sys.argv.index('--ball-query') + 1]
+    main(steps=steps, batch_size=bs, model_kind=kind, ball_query=bq)
