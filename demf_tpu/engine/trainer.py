@@ -41,7 +41,8 @@ def create_train_state(model, tx, variables):
 
 
 def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
-                    donate: bool = True, compute_dtype: Optional[str] = None):
+                    donate: bool = True, compute_dtype: Optional[str] = None,
+                    preprocess: Optional[Callable] = None):
     """Build the jitted train step for a detector following the batch API
     (``model.apply(vars, batch, train=True)`` -> results;
     ``model.loss(results, batch)`` -> loss dict).
@@ -49,11 +50,18 @@ def make_train_step(model, tx, loss_reducer: Optional[Callable] = None,
     ``compute_dtype='bfloat16'`` enables the mixed-precision policy (N11):
     fp32 master params, bf16 forward/backward, fp32 losses/targets — see
     utils/precision.py.
+
+    ``preprocess`` (see data/device_pipeline.py) maps a raw host batch to
+    the model batch INSIDE the jitted step — on-device augmentation /
+    resize / subsampling fused ahead of the network, gradient-free.
     """
     from ..utils.precision import (cast_batch, cast_floating,
                                    compute_dtype_scope)
 
     def train_step(state: TrainState, batch, rng):
+        if preprocess is not None:
+            batch = jax.lax.stop_gradient(
+                preprocess(batch, jax.random.fold_in(rng, 2)))
         def loss_fn(params):
             net_batch = batch
             if compute_dtype is not None:
