@@ -141,7 +141,7 @@ def _make_state_and_step(cfg_name, batch, compute_dtype, grad_clip=None,
     mesh = make_mesh()
     state = replicate(create_train_state(model, tx, variables), mesh)
     step = make_train_step(model, tx, compute_dtype=compute_dtype)
-    return model, variables, state, step, mesh
+    return model, variables, state, step, mesh, tx
 
 
 def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
@@ -162,7 +162,7 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
 
     # ---- headline: DeMF stage-2, frozen image features cached ----------
     batch = synth_demf_batch(b=batch_size, p=num_points, g=64, hw=hw)
-    model, variables, state, step, mesh = _make_state_and_step(
+    model, variables, state, step, mesh, tx = _make_state_and_step(
         'demf/demf_votenet.py', batch, compute_dtype)
     feats = compute_image_features(model, variables, batch)
     cbatch = dict(batch)
@@ -190,7 +190,7 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         # VoteNet PC-only baseline
         from demf_tpu.zoo import synth_points_batch
         vbatch = synth_points_batch(batch_size, num_points, 64)
-        _, _, vstate, vstep, vmesh = _make_state_and_step(
+        _, _, vstate, vstep, vmesh, _ = _make_state_and_step(
             'baseline/votenet.py', vbatch, compute_dtype, frozen=False)
         vrate, _, vstats = _measure(vstep, vstate,
                                     shard_batch(vbatch, vmesh), rng,
@@ -202,7 +202,7 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         from demf_tpu.zoo import synth_fcaf3d_batch
         fb = min(8, batch_size)
         fbatch = synth_fcaf3d_batch(fb, num_points)
-        _, _, fstate, fstep, fmesh = _make_state_and_step(
+        _, _, fstate, fstep, fmesh, _ = _make_state_and_step(
             'fcaf3d/fcaf3d_sunrgbd.py', fbatch, compute_dtype,
             frozen=False,
             model_overrides=dict(max_voxels=16384))
@@ -244,12 +244,58 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         extras['e2e_overlapped'] = round(
             min(per_chip, extras['loader_host']), 3)
 
+        # ---- on-device preprocessing path (north-star) ----------------
+        # host does file IO only; point aug + subsample fuse into the
+        # jitted step (data/device_pipeline.py).  loader_raw = raw host
+        # loader rate, demf_devpipe = cached step with fused preprocess,
+        # e2e_device = the overlapped steady state of that pairing.
+        import numpy as np
+        from demf_tpu.data.device_pipeline import build_device_pipeline
+        from demf_tpu.engine import make_train_step
+        pts_ops = {'LoadPointsFromFile', 'LoadAnnotations3D',
+                   'RandomFlip3D', 'GlobalRotScaleTrans', 'PointSample',
+                   'DefaultFormatBundle3D', 'Collect3D'}
+        raw_cfg = [t for t in pipeline if t['type'] in pts_ops]
+        host_load, collate_raw, device_fn, _spec = build_device_pipeline(
+            raw_cfg, points_cap=num_points, max_gt=64)
+        rds = build_dataset(dict(
+            type='RepeatDataset', times=64,
+            dataset=dict(type='SUNRGBDDataset', data_root=fx,
+                         ann_file=os.path.join(
+                             fx, 'sunrgbd_infos_mini.pkl'),
+                         pipeline=[host_load], filter_empty_gt=True)))
+        rloader = build_dataloader(rds, samples_per_gpu=batch_size,
+                                   shuffle=True, collate_fn=collate_raw)
+        rit = iter(rloader)
+        next(rit)
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(rit)
+        extras['loader_raw'] = round(
+            n_batches * batch_size / (time.perf_counter() - t0), 3)
+
+        rawb = dict(cbatch)
+        rawb['raw_points'] = batch['points'][..., :3]
+        rawb['raw_points_count'] = np.full((batch_size,), num_points,
+                                           np.int32)
+        rawb.pop('points')
+        rawb = shard_batch(rawb, mesh)
+        pstep = make_train_step(model, tx, compute_dtype=compute_dtype,
+                                preprocess=device_fn)
+        prate, _, pstats = _measure(pstep, state, rawb, rng,
+                                    max(3, iters // 2), 1, batch_size)
+        state = None  # donated into pstep
+        extras['demf_devpipe'] = round(prate, 3)
+        spreads['demf_devpipe'] = pstats['spread']
+        extras['e2e_device'] = round(
+            min(prate, extras['loader_raw']), 3)
+
     if full:
         # stage-1 DETR pretrain: trainable 6-layer deformable encoder
         from demf_tpu.zoo import synth_detr2d_batch
         pb = 4
         dbatch = synth_detr2d_batch(b=pb, hw=hw)
-        _, _, dstate, dstep, dmesh = _make_state_and_step(
+        _, _, dstate, dstep, dmesh, _ = _make_state_and_step(
             'deformdetr/imvotenet_deform.py', dbatch, compute_dtype,
             frozen=False, grad_clip=dict(max_norm=0.1, norm_type=2))
         drate, _, dstats = _measure(dstep, dstate,

@@ -96,11 +96,15 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=16, shuffle=True, max_gt=64,
-                 seed=0, drop_last=True, prefetch=2, num_threads=4):
+                 seed=0, drop_last=True, prefetch=2, num_threads=4,
+                 collate_fn=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.max_gt = max_gt
+        # custom collate (e.g. make_raw_collate for the on-device
+        # preprocessing path, data/device_pipeline.py)
+        self.collate_fn = collate_fn
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -124,6 +128,8 @@ class DataLoader:
             samples = [self.dataset[i] for i in sel]
         else:
             samples = list(pool.map(self.dataset.__getitem__, sel))
+        if self.collate_fn is not None:
+            return self.collate_fn(samples)
         return collate_fixed(samples, self.max_gt)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -174,4 +180,5 @@ def build_dataloader(dataset, samples_per_gpu=16, workers_per_gpu=4,
                      shuffle=True, seed=0, max_gt=64, **kwargs):
     return DataLoader(dataset, batch_size=samples_per_gpu, shuffle=shuffle,
                       seed=seed, max_gt=max_gt,
-                      num_threads=max(1, workers_per_gpu))
+                      num_threads=max(1, workers_per_gpu),
+                      collate_fn=kwargs.get('collate_fn'))

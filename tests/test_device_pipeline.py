@@ -227,3 +227,57 @@ def test_e2e_fixture_device_pipeline_jits_once():
     assert np.isfinite(np.asarray(out['img'])).all()
     # second batch with different raw sizes reuses the compiled fn
     fn(raw, jax.random.PRNGKey(1))
+
+
+def test_train_step_with_fused_device_preprocess():
+    """make_train_step(preprocess=...) — raw batch in, model batch built
+    inside the jitted step (the bench.py demf_devpipe path), sharded over
+    the virtual 8-device mesh."""
+    import jax.numpy as jnp
+    from demf_tpu.engine import (build_optimizer, create_train_state,
+                                 make_train_step)
+    from demf_tpu.parallel import make_mesh, replicate, shard_batch
+    from demf_tpu.utils.registry import DETECTORS, build_from_cfg
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_votenet import tiny_votenet_cfg
+
+    cfg = [
+        dict(type='LoadPointsFromFile', coord_type='DEPTH',
+             shift_height=True, load_dim=6, use_dim=[0, 1, 2]),
+        dict(type='LoadAnnotations3D'),
+        dict(type='RandomFlip3D', sync_2d=False,
+             flip_ratio_bev_horizontal=0.5),
+        dict(type='GlobalRotScaleTrans', rot_range=[-0.5, 0.5],
+             scale_ratio_range=[0.85, 1.15], shift_height=True),
+        dict(type='PointSample', num_points=256),
+        dict(type='Collect3D', keys=['points', 'gt_bboxes_3d',
+                                     'gt_labels_3d']),
+    ]
+    spec = DevicePreprocessSpec(cfg, points_cap=512)
+    device_fn = make_device_preprocess(spec)
+
+    rng = np.random.RandomState(0)
+    b = 8
+    raw = dict(
+        raw_points=rng.randn(b, 512, 3).astype(np.float32),
+        raw_points_count=np.full((b,), 512, np.int32),
+        gt_bboxes_3d=np.tile(
+            np.array([0, 0, 0, 1, 1, 1, 0], np.float32), (b, 4, 1)),
+        gt_labels_3d=np.zeros((b, 4), np.int32),
+        gt_valid=np.ones((b, 4), bool),
+        img_meta={},
+    )
+    model = build_from_cfg(tiny_votenet_cfg(), DETECTORS)
+    variables = jax.jit(lambda r, p: model.init(r, {'points': p},
+                                                train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((b, 256, 4)))
+    tx = build_optimizer(dict(type='AdamW', lr=1e-3, weight_decay=0.01),
+                         variables['params'])
+    mesh = make_mesh()
+    state = replicate(create_train_state(model, tx, variables), mesh)
+    step = make_train_step(model, tx, preprocess=device_fn, donate=False)
+    sbatch = shard_batch(raw, mesh)
+    state, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
