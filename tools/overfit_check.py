@@ -21,6 +21,17 @@ check).  Modes:
 * ``demf_fcaf3d``  — same proof for the sparse-voxel fusion variant
                      (configs/demf/demf_fcaf3d.py); ablation = base
                      levels + fusion stages vs base levels only.
+* ``imvotenet``    — the three-tower fusion baseline
+                     (configs/baseline/imvotenet.py; reference
+                     imvotenet.py loss combine at
+                     demf/modeling/detectors/imvotenet_deform.py:349-385).
+                     Two phases mirroring the reference workflow: (A)
+                     overfit the Faster R-CNN image branch alone on the
+                     rendered scenes (stand-in for the published 2D
+                     warm-start checkpoint), then (B) freeze it and train
+                     the three towers.  Ablation: joint-tower eval vs
+                     pts-only / img-only towers — PASS requires the joint
+                     (fused) tower to beat the PC-only tower.
 
 Usage: python tools/overfit_check.py [--steps N] [--model MODE]
 """
@@ -97,6 +108,29 @@ def build_setup(model_kind, batch_size):
         return cfg, pipeline, dict(render_boxes=True), min(batch_size, 8), \
             True
 
+    if model_kind == 'imvotenet':
+        cfg = Config.fromfile(os.path.join(
+            REPO, 'configs/baseline/imvotenet.py'))
+        pipeline = [
+            dict(type='LoadPointsFromFile', coord_type='DEPTH',
+                 shift_height=True, load_dim=6, use_dim=[0, 1, 2]),
+            dict(type='LoadImageFromFile'),
+            dict(type='LoadAnnotations3D'),
+            dict(type='LoadAnnotations'),   # 2D gt for the phase-A branch
+            dict(type='Resize', img_scale=(320, 240), keep_ratio=True),
+            dict(type='RandomFlip', flip_ratio=0.0),
+            dict(type='Normalize', **IMG_NORM),
+            dict(type='Pad', size_divisor=32),
+            dict(type='PointSample', num_points=20000),
+            dict(type='DefaultFormatBundle3D'),
+            dict(type='Collect3D',
+                 keys=['img', 'points', 'gt_bboxes_3d', 'gt_labels_3d',
+                       'gt_bboxes', 'gt_labels']),
+        ]
+        cfg.optimizer = dict(type='AdamW', lr=2e-3, weight_decay=1e-4)
+        return cfg, pipeline, dict(render_boxes=True), min(batch_size, 8), \
+            True
+
     cfg = Config.fromfile(os.path.join(REPO, 'configs/baseline/votenet.py'))
     pipeline = [
         dict(type='LoadPointsFromFile', coord_type='DEPTH',
@@ -123,8 +157,46 @@ def _set_ball_query_exact(node, exact):
         _set_ball_query_exact(v, exact)
 
 
+def pretrain_2d_branch(model, variables, ds, batch_size, max_gt, steps,
+                       lr=1e-3):
+    """Phase A of the imvotenet proof: overfit the Faster R-CNN image
+    branch on the rendered scenes via the model's own image-only training
+    path (batch without 'points' -> RPN + RCNN losses), standing in for
+    the reference's published 2D warm-start checkpoint."""
+    import jax
+    from demf_tpu.data.loader import collate_fixed
+    from demf_tpu.engine import (build_optimizer, create_train_state,
+                                 make_train_step)
+
+    tx = build_optimizer(dict(type='AdamW', lr=lr, weight_decay=1e-4),
+                         variables['params'],
+                         grad_clip=dict(max_norm=10, norm_type=2))
+    state = create_train_state(model, tx, variables)
+    step_fn = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(42)
+    n = len(ds)
+    perm_rng = np.random.RandomState(3)
+    it = 0
+    while it < steps:
+        perm = perm_rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            if it >= steps:
+                break
+            samples = [ds[int(i)] for i in perm[start:start + batch_size]]
+            batch = collate_fixed(samples, max_gt=max_gt)
+            for k in ('points', 'gt_bboxes_3d', 'gt_labels_3d', 'gt_valid'):
+                batch.pop(k, None)
+            state, metrics = step_fn(state, batch,
+                                     jax.random.fold_in(rng, it))
+            it += 1
+            if it % 50 == 0:
+                print(f'  2d-pretrain step {it}: '
+                      f'loss={float(metrics["loss"]):.3f}', flush=True)
+    return {'params': state.params, 'batch_stats': state.batch_stats}
+
+
 def main(steps=200, batch_size=16, model_kind='votenet',
-         ball_query=None):
+         ball_query=None, steps_2d=300):
     import jax
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
@@ -153,7 +225,14 @@ def main(steps=200, batch_size=16, model_kind='votenet',
     variables = jax.jit(lambda r, b: model.init(r, b, train=True))(
         jax.random.PRNGKey(0), batch0)
 
-    if uses_image:
+    if model_kind == 'imvotenet':
+        print('phase A: overfitting the 2D branch (image-only path) ...',
+              flush=True)
+        variables = pretrain_2d_branch(model, variables, ds, batch_size,
+                                       max_gt, steps=steps_2d)
+        print('phase B: three-tower fusion training', flush=True)
+
+    if uses_image and model_kind in ('demf', 'demf_fcaf3d'):
         # frozen image branch (random init — the decoder still gets a
         # deterministic, class-colored-box-dependent feature field):
         # compute each scene's features once and train from the cache
@@ -226,6 +305,17 @@ def main(steps=200, batch_size=16, model_kind='votenet',
             return {k: v for k, v in results.items()
                     if k != 'fusion_stages'}
         ablations['base_levels_only'] = make_eval(model, drop_fusion)
+    elif model_kind == 'imvotenet':
+        # decode a single tower through the joint head's get_bboxes (the
+        # tower heads share coder/test_cfg; only input features differ)
+        def use_tower(t):
+            def tf(results):
+                out = dict(results)
+                out['joint'] = results[t]
+                return out
+            return tf
+        ablations['pts_only'] = make_eval(model, use_tower('pts'))
+        ablations['img_only'] = make_eval(model, use_tower('img'))
 
     map_before = eval_map(state)
     print(f'mAP@0.25 before: {map_before:.4f}', flush=True)
@@ -262,6 +352,9 @@ def main(steps=200, batch_size=16, model_kind='votenet',
     if model_kind == 'demf_fcaf3d':
         assert map_after > ablations['base_levels_only'], \
             'fusion stages did not improve over the base FCAF3D levels'
+    if model_kind == 'imvotenet':
+        assert map_after > ablations['pts_only'], \
+            'joint (fused) tower did not improve over the PC-only tower'
     print('OVERFIT CHECK PASSED')
 
 
@@ -278,4 +371,8 @@ if __name__ == '__main__':
     bq = None
     if '--ball-query' in sys.argv:
         bq = sys.argv[sys.argv.index('--ball-query') + 1]
-    main(steps=steps, batch_size=bs, model_kind=kind, ball_query=bq)
+    s2d = 300
+    if '--steps-2d' in sys.argv:
+        s2d = int(sys.argv[sys.argv.index('--steps-2d') + 1])
+    main(steps=steps, batch_size=bs, model_kind=kind, ball_query=bq,
+         steps_2d=s2d)

@@ -18,14 +18,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def timeit(f, *args, iters=3, warmup=1, **kw):
-    import jax
+    # tunnel-safe hard sync (block_until_ready can return early over the
+    # remote-TPU tunnel; see demf_tpu.utils.profiling)
+    from demf_tpu.utils.profiling import sync
     for _ in range(warmup):
         out = f(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
