@@ -8,15 +8,25 @@ encoder and the DeMF decoder cross-attention).  The math matches
 grid_sample-style bilinear reads (align_corners=False, zero padding) at
 learned per-head/level/point offsets, reduced with attention weights.
 
-Design (v5e-measured, round 2):
-  * TPU gathers are COUNT-bound at ~64M rows/s for any row size in
-    [64, 256] elements (and 2x slower at 32).  The round-1 formulation
-    issued 4 corner gathers of hd=32 rows per sample; here each level is
-    pre-packed into a QUAD layout where row (y, x) holds the whole 2x2
-    neighbourhood [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] (4*hd = 128
-    channels), so ONE gather per sample fetches all four corners (~4x),
-    and all levels ride a single fused gather into the level-concatenated
-    quad plane.
+Design (v5e-measured, rounds 2-3):
+  * TPU gathers from a large flat HBM operand are COUNT-bound at ~64-89M
+    rows/s for any row size in [64, 256] elements (and 2x slower at 32).
+    The round-1 formulation issued 4 corner gathers of hd=32 rows per
+    sample; here each level is pre-packed into a QUAD layout where row
+    (y, x) holds the whole 2x2 neighbourhood [v(y,x), v(y,x+1),
+    v(y+1,x), v(y+1,x+1)] (4*hd = 128 channels), so ONE gather per
+    sample fetches all four corners (~4x), and all levels ride a single
+    fused gather into the level-concatenated quad plane.
+  * The gather runs as a ``lax.scan`` over the fused (batch, head) axis:
+    each step gathers one slice's samples from that slice's ~5.7 MB
+    plane, which XLA keeps VMEM-resident and serves with its vector
+    dynamic-load path at ~360 M rows/s -- 4.1x the flat big-operand form
+    (tools/bench_gather_variants.py; random vs sorted indices measured
+    identical, so this is an operand-residency effect, not locality).
+    Pallas per-row alternatives (aligned-block select, stage-and-select
+    via one-hot MXU compaction) both measured ~50 M rows/s -- Mosaic
+    exposes no vector dynamic-load, so XLA's emitter wins
+    (tools/bench_gather_kernel.py).
   * Zero-padding semantics fall out of the weight algebra: the quad base
     is clamped to the grid, per-slot weights are
     relu(1-|x-px|) * relu(1-|y-py|) which vanish for any slot pixel more
@@ -31,8 +41,9 @@ Design (v5e-measured, round 2):
     dot products, and accumulates d_value with ONE quad-layout
     scatter-add per sample (R=128 scatter measured ~55M rows/s vs ~10M
     at R=32) followed by a cheap shift-fold back to the pixel grid.
-  * queries run in static chunks via ``lax.scan`` so live gather
-    temporaries stay bounded at the reference's ~22k-token encoder.
+  * per-slice temporaries (one (S, 4hd) row buffer per (b, h)) are
+    allocated once by the scan, so encoder-scale calls stay bounded
+    without explicit query chunking.
 
 Measured (v5e-1, batch 16, reference encoder shapes, 8 heads x 4 levels
 x 4 points): forward 2.9 s -> ~0.9 s; backward OOM -> ~1.7 s.
@@ -106,19 +117,6 @@ def _geometry(spatial_shapes, locs_c):
                 wslot=jnp.stack(ws, axis=-1), wvec=wvec, hvec=hvec)
 
 
-def _flat_rows(plane, idx):
-    """plane (B, H, N, C), idx (B, H, S) -> rows (B, H, S, C).
-
-    One flattened-axis gather instead of a (B, H)-batched
-    take_along_axis: measured 89 vs 65 M rows/s on v5e for the MSDA
-    row shape (bf16 128-channel rows).
-    """
-    b, h, n, c = plane.shape
-    base = (jnp.arange(b * h, dtype=jnp.int32) * n).reshape(b, h, 1)
-    rows = plane.reshape(b * h * n, c)[(idx + base).reshape(-1)]
-    return rows.reshape(b, h, idx.shape[2], c)
-
-
 def _fold_matrix(n_rep, hd, dtype):
     """(n_rep*hd, hd) block-stacked identity: sums n_rep groups of hd."""
     return jnp.tile(jnp.eye(hd, dtype=dtype), (n_rep, 1))
@@ -132,84 +130,69 @@ def _precision(compute_dtype):
             if jnp.dtype(compute_dtype) == jnp.float32 else None)
 
 
-def _chunk_forward(plane, spatial_shapes, locs_c, aw_c, hd, compute_dtype):
-    """One query chunk: (B, qc, heads, L, P, 2) locs -> (B, heads, qc, hd).
+def _slice_forward(plane_s, idx_s, w4_s, q, hd, nlv, npts, compute_dtype):
+    """One (b, h) slice: gather all S = q*L*P quad rows + weighted fold.
 
-    Gathers run per level (XLA pipelines the independent level gathers
-    against the weighting/fold compute; one fused all-level gather
-    measured ~15% slower).
+    plane_s (N, 4hd); idx_s (S,) i32; w4_s (S, 4) attn*bilinear weights.
+    Returns (q, hd) f32.  The ``plane_s[idx_s]`` gather is the whole
+    point of the scan-over-slice formulation (module docstring).
     """
-    b, qc, heads, nlv, npts, _ = locs_c.shape
-    geo = _geometry(spatial_shapes, locs_c)
-    aw = jnp.moveaxis(aw_c, 2, 1)                         # (B,h,qc,L,P)
-    wattn = (geo['wslot'] * aw[..., None])                # (B,h,qc,L,P,4)
-    fold = _fold_matrix(npts * 4, hd, compute_dtype)
-    out = None
-    for lvl in range(nlv):
-        s = qc * npts
-        idx = geo['idx'][:, :, :, lvl].reshape(b, heads, s)
-        rows = _flat_rows(plane, idx)
-        wfull = wattn[:, :, :, lvl].reshape(b, heads, s, 4)
-        wfull = jnp.repeat(wfull.astype(compute_dtype), hd, axis=-1)
-        weighted = rows.astype(compute_dtype) * wfull     # (B,h,S,4hd)
-        weighted = weighted.reshape(b, heads, qc, npts * 4 * hd)
-        contrib = jax.lax.dot_general(
-            weighted, fold, (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision(compute_dtype))          # (B,h,qc,hd)
-        out = contrib if out is None else out + contrib
-    return out
+    rows = plane_s[idx_s]                                 # (S, 4hd)
+    wfull = jnp.repeat(w4_s.astype(compute_dtype), hd, axis=-1)
+    weighted = rows.astype(compute_dtype) * wfull
+    weighted = weighted.reshape(q, nlv * npts * 4 * hd)
+    fold = _fold_matrix(nlv * npts * 4, hd, compute_dtype)
+    return jax.lax.dot_general(
+        weighted, fold, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(compute_dtype))              # (q, hd) f32
 
 
-def _chunk_backward(plane, spatial_shapes, locs_c, aw_c, g_c, hd,
+def _g4_tile(g_s, q, hd, nlv, npts, dtype):
+    """(q, hd) upstream grad -> (S, 4hd) tiled to samples and slots."""
+    s = q * nlv * npts
+    g4 = jnp.broadcast_to(g_s.astype(dtype)[:, None],
+                          (q, nlv * npts, hd)).reshape(s, hd)
+    return jnp.tile(g4, (1, 4))
+
+
+def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
                     compute_dtype):
-    """Backward for one chunk.
+    """Backward for one (b, h) slice.
 
-    Args:
-        g_c: (B, heads, qc, hd) f32 upstream grad.
-    Returns:
-        (d_locs_c (B,qc,h,L,P,2), d_aw_c (B,qc,h,L,P),
-         idx (B,h,S), d_quad updates (B,h,S,4hd) f32)
+    w4geo_s: (S, 4) bilinear slot weights (geometry only, no attn).
+    aw_s: (S,) attention weights.  g_s: (q, hd) f32 upstream grad.
+    Returns (dplane_s (N, 4hd) f32, d_aw (S,), D (S, 4) per-slot dots).
     """
-    b, qc, heads, nlv, npts, _ = locs_c.shape
-    geo = _geometry(spatial_shapes, locs_c)
-    s = qc * npts
-    aw = jnp.moveaxis(aw_c, 2, 1)                         # (B,h,qc,L,P)
-    awS = aw.astype(jnp.float32)
-
-    # g tiled to samples and slots: (B,h,qc,hd) -> (B,h,S,4hd)
-    g_cd = g_c.astype(compute_dtype)
-    g4 = jnp.broadcast_to(
-        g_cd[:, :, :, None, :], (b, heads, qc, npts, hd))
-    g4 = jnp.tile(g4.reshape(b, heads, s, hd), (1, 1, 1, 4))
+    s = q * nlv * npts
+    rows = plane_s[idx_s]                                 # (S, 4hd)
+    g4 = _g4_tile(g_s, q, hd, nlv, npts, compute_dtype)
     slotpick = jnp.repeat(jnp.eye(4, dtype=compute_dtype), hd, axis=0)
+    # per-slot dots D[s, slot] = <g, rows_slot>: fold hd groups on the
+    # MXU (an (S, 4hd) x (4hd, 4) matmul) to avoid (..., 4, hd)
+    # tile-padded temporaries
+    D = jax.lax.dot_general(
+        rows.astype(compute_dtype) * g4, slotpick,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(compute_dtype))              # (S, 4)
+    d_aw = jnp.sum(w4geo_s * D, axis=-1)                  # (S,)
+    # d_quad scatter: upd = (attn * wslot) x g, accumulated per slice --
+    # the scan-over-slice scatter mirrors the gather's fast path
+    wfull = jnp.repeat((w4geo_s * aw_s[:, None]).astype(jnp.float32),
+                       hd, axis=-1)
+    upd = wfull * _g4_tile(g_s, q, hd, nlv, npts, jnp.float32)
+    dplane = jnp.zeros(plane_s.shape, jnp.float32).at[idx_s].add(upd)
+    return dplane, d_aw, D
 
-    Ds, idxs, upds = [], [], []
-    for lvl in range(nlv):
-        idx = geo['idx'][:, :, :, lvl].reshape(b, heads, s)
-        rows = _flat_rows(plane, idx)
-        # per-slot dots D[..., slot] = <g, rows_slot>: fold hd groups on
-        # the MXU (an (S, 4hd) x (4hd, 4) matmul) to avoid (..., 4, hd)
-        # tile-padded temporaries
-        D = jax.lax.dot_general(
-            rows.astype(compute_dtype) * g4, slotpick,
-            (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision(compute_dtype))          # (B,h,S,4)
-        Ds.append(D.reshape(b, heads, qc, 1, npts, 4))
-        # d_quad updates: (attn * wslot) per slot x g, in quad layout
-        wfull = (geo['wslot'][:, :, :, lvl] *
-                 awS[:, :, :, lvl, :, None]).reshape(b, heads, s, 4)
-        wfull = jnp.repeat(wfull, hd, axis=-1)
-        idxs.append(idx)
-        upds.append(wfull * g4.astype(jnp.float32))
-    D = jnp.concatenate(Ds, axis=3)                       # (B,h,qc,L,P,4)
 
-    # d_attn = sum_slot wslot * D
-    d_aw = jnp.moveaxis(jnp.sum(geo['wslot'] * D, axis=-1), 1, 2)
+def _loc_grads(geo, D, aw):
+    """Location gradients from per-slot dots (all slices at once).
 
-    # d_wslot = attn * D; wslot = wx * wy factor derivatives
-    dW = awS[..., None] * D                               # (B,h,qc,L,P,4)
+    D: (B, h, Q, L, P, 4) per-slot dots; aw: (B, h, Q, L, P).
+    Returns d_locs (B, Q, h, L, P, 2).
+    """
+    dW = aw.astype(jnp.float32)[..., None] * D
     x, y, bx, by = geo['x'], geo['y'], geo['bx'], geo['by']
     dx_acc = jnp.zeros_like(x)
     dy_acc = jnp.zeros_like(y)
@@ -225,11 +208,11 @@ def _chunk_backward(plane, spatial_shapes, locs_c, aw_c, g_c, hd,
         dx_acc = dx_acc + dW[..., si] * gx
         dy_acc = dy_acc + dW[..., si] * gy
     # chain: x = loc_x * w_level - 0.5
-    lshape = (1, 1, 1, len(spatial_shapes), 1)
+    nlv = x.shape[3]
+    lshape = (1, 1, 1, nlv, 1)
     d_locs = jnp.stack([dx_acc * geo['wvec'].reshape(lshape),
                         dy_acc * geo['hvec'].reshape(lshape)], axis=-1)
-    d_locs = jnp.moveaxis(d_locs, 1, 2)                   # (B,qc,h,L,P,2)
-    return d_locs, d_aw, idxs, upds
+    return jnp.moveaxis(d_locs, 1, 2)                     # (B,Q,h,L,P,2)
 
 
 def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
@@ -259,9 +242,8 @@ def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
             yi = y0i + dy
             ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
             idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            # narrow rows (hd=32, 64 B): the flattened-axis form is
-            # neutral-to-worse here (35 vs 37 M rows/s measured), so the
-            # batched gather stays; _flat_rows wins only at quad width
+            # narrow rows (hd=32, 64 B): decoder-scale gathers are a
+            # few ms total; the batched take_along_axis form stays
             g = jnp.take_along_axis(
                 value_rows, idx[..., None].astype(jnp.int32),
                 axis=2).astype(out_dtype)
@@ -315,21 +297,21 @@ def _fold_quad_grad(dquad, h, w, hd):
     return out.reshape(b, heads, h * w, hd)
 
 
-def _pad_chunks(arr, q, qc):
-    nc = -(-q // qc)
-    pad = nc * qc - q
-    if pad:
-        cfg = [(0, 0)] * arr.ndim
-        cfg[1] = (0, pad)
-        arr = jnp.pad(arr, cfg)
-    new_shape = (arr.shape[0], nc, qc) + arr.shape[2:]
-    return jnp.moveaxis(arr.reshape(new_shape), 1, 0), nc
-
-
 @functools.lru_cache(maxsize=32)
-def _make_msda(spatial_shapes, query_chunk, gather_dtype_name):
+def _make_msda(spatial_shapes, gather_dtype_name):
     gather_dtype = jnp.dtype(gather_dtype_name)
     compute_dtype = gather_dtype
+    nlv = len(spatial_shapes)
+
+    def _geo_flat(locs):
+        """Geometry, reshaped to fused-slice layout (BH, S, ...)."""
+        b, q, heads = locs.shape[:3]
+        npts = locs.shape[4]
+        s = q * nlv * npts
+        geo = _geometry(spatial_shapes, locs)
+        idx = geo['idx'].reshape(b * heads, s)
+        w4geo = geo['wslot'].reshape(b * heads, s, 4)
+        return geo, idx, w4geo
 
     @jax.custom_vjp
     def msda(value, locs, aw):
@@ -338,22 +320,21 @@ def _make_msda(spatial_shapes, query_chunk, gather_dtype_name):
     def _fwd(value, locs, aw):
         b, _, heads, hd = value.shape
         q = locs.shape[1]
+        npts = locs.shape[4]
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
-        if q <= query_chunk:
-            out = _chunk_forward(plane, spatial_shapes, locs, aw, hd,
+        plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
+        _, idx, w4geo = _geo_flat(locs)
+        awf = jnp.moveaxis(aw, 2, 1).reshape(b * heads, q * nlv * npts)
+        w4 = w4geo * awf[..., None].astype(w4geo.dtype)
+
+        def body(_, xs):
+            p_s, idx_s, w4_s = xs
+            out = _slice_forward(p_s, idx_s, w4_s, q, hd, nlv, npts,
                                  compute_dtype)
-        else:
-            locs_c, nc = _pad_chunks(locs, q, query_chunk)
-            aw_c, _ = _pad_chunks(aw, q, query_chunk)
+            return None, out.astype(value.dtype)
 
-            def body(_, xs):
-                lc, ac = xs
-                return None, _chunk_forward(plane, spatial_shapes, lc, ac,
-                                            hd, compute_dtype)
-
-            _, outs = jax.lax.scan(body, None, (locs_c, aw_c))
-            out = jnp.moveaxis(outs, 0, 2).reshape(
-                b, heads, nc * query_chunk, hd)[:, :, :q]
+        _, outs = jax.lax.scan(body, None, (plane, idx, w4))
+        out = outs.reshape(b, heads, q, hd)
         out = jnp.moveaxis(out, 1, 2).reshape(b, q, heads * hd)
         return out.astype(value.dtype), (value, locs, aw)
 
@@ -362,60 +343,38 @@ def _make_msda(spatial_shapes, query_chunk, gather_dtype_name):
         b, nv, heads, hd = value.shape
         q = locs.shape[1]
         npts = locs.shape[4]
-        nlv = len(spatial_shapes)
+        s = q * nlv * npts
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
+        plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
+        geo, idx, w4geo = _geo_flat(locs)
+        awf = jnp.moveaxis(aw, 2, 1).reshape(b * heads, s)
         gh = jnp.moveaxis(
             g.reshape(b, q, heads, hd).astype(jnp.float32), 2, 1)
-        # one buffer per level so the level scatters stay independent (a
-        # single shared buffer serializes them; measured ~10% slower).
-        # Buffers and indices are flattened over (B, heads, hw) — same
-        # rationale as _flat_rows, scatter side.
+        gh = gh.reshape(b * heads, q, hd)
+
+        def body(_, xs):
+            p_s, idx_s, w4_s, aw_s, g_s = xs
+            dplane, d_aw, D = _slice_backward(
+                p_s, idx_s, w4_s, aw_s, g_s, q, hd, nlv, npts,
+                compute_dtype)
+            return None, (dplane, d_aw, D)
+
+        _, (dquad, d_aw_f, D_f) = jax.lax.scan(
+            body, None, (plane, idx, w4geo, awf, gh))
+
+        d_aw = jnp.moveaxis(
+            d_aw_f.reshape(b, heads, q, nlv, npts), 1, 2)
+        D = D_f.reshape(b, heads, q, nlv, npts, 4)
+        d_locs = _loc_grads(geo, D, jnp.moveaxis(aw, 2, 1))
+
+        dquad = dquad.reshape(b, heads, -1, 4 * hd)
         starts = [0]
         for (h, w) in spatial_shapes:
             starts.append(starts[-1] + h * w)
-        dquad = tuple(jnp.zeros((b * heads * h * w, 4 * hd), jnp.float32)
-                      for (h, w) in spatial_shapes)
-        bh_base = jnp.arange(b * heads, dtype=jnp.int32).reshape(
-            b, heads, 1)
-
-        def scatter_all(bufs, idxs, upds):
-            out = []
-            for buf, idx, upd, start, (h, w) in zip(
-                    bufs, idxs, upds, starts, spatial_shapes):
-                flat_idx = (bh_base * (h * w) + idx - start).reshape(-1)
-                out.append(buf.at[flat_idx].add(
-                    upd.reshape(-1, upd.shape[-1])))
-            return tuple(out)
-
-        if q <= query_chunk:
-            d_locs, d_aw, idxs, upds = _chunk_backward(
-                plane, spatial_shapes, locs, aw, gh, hd, compute_dtype)
-            dquad = scatter_all(dquad, idxs, upds)
-        else:
-            locs_c, nc = _pad_chunks(locs, q, query_chunk)
-            aw_c, _ = _pad_chunks(aw, q, query_chunk)
-            gh_pad = jnp.pad(gh, ((0, 0), (0, 0),
-                                  (0, nc * query_chunk - q), (0, 0)))
-            gh_c = jnp.moveaxis(
-                gh_pad.reshape(b, heads, nc, query_chunk, hd), 2, 0)
-
-            def body(carry, xs):
-                lc, ac, gc = xs
-                dl, da, idxs, upds = _chunk_backward(
-                    plane, spatial_shapes, lc, ac, gc, hd, compute_dtype)
-                return scatter_all(carry, idxs, upds), (dl, da)
-
-            dquad, (dl_c, da_c) = jax.lax.scan(
-                body, dquad, (locs_c, aw_c, gh_c))
-            d_locs = jnp.moveaxis(dl_c, 0, 1).reshape(
-                b, nc * query_chunk, heads, nlv, npts, 2)[:, :q]
-            d_aw = jnp.moveaxis(da_c, 0, 1).reshape(
-                b, nc * query_chunk, heads, nlv, npts)[:, :q]
-
         dval_levels = []
         for lvl, (h, w) in enumerate(spatial_shapes):
             dv = _fold_quad_grad(
-                dquad[lvl].reshape(b, heads, h * w, 4 * hd), h, w, hd)
+                dquad[:, :, starts[lvl]:starts[lvl + 1]], h, w, hd)
             dval_levels.append(jnp.moveaxis(dv, 1, 2))    # (B,HW,heads,hd)
         d_value = jnp.concatenate(dval_levels, axis=1).astype(value.dtype)
         return (d_value, d_locs.astype(locs.dtype), d_aw.astype(aw.dtype))
@@ -437,7 +396,9 @@ def multi_scale_deformable_attention(value, spatial_shapes,
         spatial_shapes: static tuple of (h, w) per level.
         sampling_locations: (B, Q, heads, levels, points, 2) in [0, 1].
         attention_weights: (B, Q, heads, levels, points), normalized.
-        query_chunk: static query-chunk size bounding gather temporaries.
+        query_chunk: accepted for API compatibility; the scan-over-slice
+            formulation bounds temporaries per (b, h) slice, so query
+            chunking is no longer used.
         gather_dtype: dtype of the packed quad planes (defaults to bf16
             for f32 inputs -- halves gather traffic; pass jnp.float32 for
             bit-exact oracle comparisons).
@@ -464,6 +425,5 @@ def multi_scale_deformable_attention(value, spatial_shapes,
     if q * nlv * npts * 8 < sum_hw:
         return _small_q_msda(value, shapes_t, sampling_locations,
                              attention_weights, gather_dtype)
-    fn = _make_msda(shapes_t, int(query_chunk),
-                    jnp.dtype(gather_dtype).name)
+    fn = _make_msda(shapes_t, jnp.dtype(gather_dtype).name)
     return fn(value, sampling_locations, attention_weights)

@@ -332,3 +332,17 @@ def test_rowwise_nms_matches_matrix():
         jnp.asarray(boxes), jnp.asarray(scores), None, 0.5,
         jnp.asarray(valid)))
     assert (ref2 == got2).all()
+
+
+def test_pallas_gather_rows_interpret():
+    """Stage-and-select row gather == fancy-index oracle (interpret mode)."""
+    from demf_tpu.ops.pallas.gather_rows import gather_rows
+    rng = np.random.RandomState(3)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        bh, n, s, c = 3, 999, 5000, 128
+        plane = jnp.asarray(rng.randn(bh, n, c), dtype)
+        idx = jnp.asarray(rng.randint(0, n, (bh, s)), jnp.int32)
+        got = np.asarray(gather_rows(plane, idx, 4096, 4, True), np.float32)
+        want = np.asarray(plane, np.float32)[
+            np.arange(bh)[:, None], np.asarray(idx)]
+        np.testing.assert_allclose(got, want)

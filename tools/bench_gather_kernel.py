@@ -19,8 +19,11 @@ Usage: python tools/bench_gather_kernel.py [--small]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +129,7 @@ def xla_gather(plane, idx):
 
 
 def main(small=False):
+    from demf_tpu.ops.pallas.gather_rows import gather_rows
     rng = np.random.RandomState(0)
     if small:
         bh, n, s, c = 4, 1024, 8192, 128
@@ -139,8 +143,10 @@ def main(small=False):
 
     # correctness first (small shapes; full-size outputs can't coexist)
     sidx = idx[:, :8192]
-    got = np.asarray(pallas_gather(plane, sidx, 4096, 8), np.float32)
     want = np.asarray(xla_gather(plane, sidx), np.float32)
+    got = np.asarray(pallas_gather(plane, sidx, 4096, 8), np.float32)
+    np.testing.assert_allclose(got, want)
+    got = np.asarray(gather_rows(plane, sidx), np.float32)
     np.testing.assert_allclose(got, want)
     del got, want, sidx
     print('correctness OK')
@@ -148,10 +154,15 @@ def main(small=False):
     rows = bh * s
     t = timeit(lambda: xla_gather(plane, idx))
     print(f'xla gather:    {t * 1e3:8.1f} ms  {rows / t / 1e6:8.1f} M rows/s')
-    for unroll in (4, 8, 16):
+    for unroll in (2, 4, 8):
         for s_tile in (4096, 8192):
+            t = timeit(lambda: gather_rows(plane, idx, s_tile, unroll))
+            print(f'stage  u{unroll:<2} t{s_tile:<5}: {t * 1e3:8.1f} ms  '
+                  f'{rows / t / 1e6:8.1f} M rows/s')
+    for unroll in (8,):
+        for s_tile in (4096,):
             t = timeit(lambda: pallas_gather(plane, idx, s_tile, unroll))
-            print(f'pallas u{unroll:<2} t{s_tile:<5}: {t * 1e3:8.1f} ms  '
+            print(f'select u{unroll:<2} t{s_tile:<5}: {t * 1e3:8.1f} ms  '
                   f'{rows / t / 1e6:8.1f} M rows/s')
 
 
