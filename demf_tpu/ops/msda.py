@@ -137,7 +137,10 @@ def _slice_forward(plane_s, idx_s, w4_s, q, hd, nlv, npts, compute_dtype):
     Returns (q, hd) f32.  The ``plane_s[idx_s]`` gather is the whole
     point of the scan-over-slice formulation (module docstring).
     """
-    rows = plane_s[idx_s]                                 # (S, 4hd)
+    # optimization_barrier: without it XLA fuses the weighting into the
+    # gather consumer and the gather drops off its fast vector-load path
+    # (521 -> 126 M rows/s measured, tools/bench_msda_layer.py)
+    rows = jax.lax.optimization_barrier(plane_s[idx_s])   # (S, 4hd)
     wfull = jnp.repeat(w4_s.astype(compute_dtype), hd, axis=-1)
     weighted = rows.astype(compute_dtype) * wfull
     weighted = weighted.reshape(q, nlv * npts * 4 * hd)
@@ -165,7 +168,8 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
     Returns (dplane_s (N, 4hd) f32, d_aw (S,), D (S, 4) per-slot dots).
     """
     s = q * nlv * npts
-    rows = plane_s[idx_s]                                 # (S, 4hd)
+    # barrier: same gather fast-path protection as _slice_forward
+    rows = jax.lax.optimization_barrier(plane_s[idx_s])   # (S, 4hd)
     g4 = _g4_tile(g_s, q, hd, nlv, npts, compute_dtype)
     slotpick = jnp.repeat(jnp.eye(4, dtype=compute_dtype), hd, axis=0)
     # per-slot dots D[s, slot] = <g, rows_slot>: fold hd groups on the
@@ -182,6 +186,9 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
     wfull = jnp.repeat((w4geo_s * aw_s[:, None]).astype(jnp.float32),
                        hd, axis=-1)
     upd = wfull * _g4_tile(g_s, q, hd, nlv, npts, jnp.float32)
+    # barrier: keep the elementwise update producer out of the scatter
+    # fusion (mirror of the gather effect)
+    upd = jax.lax.optimization_barrier(upd)
     dplane = jnp.zeros(plane_s.shape, jnp.float32).at[idx_s].add(upd)
     return dplane, d_aw, D
 

@@ -1,0 +1,346 @@
+#!/usr/bin/env python
+"""Attribute the per-slice cost of the scan-over-slice MSDA forward.
+
+Per-layer at b16 encoder shapes: 128 slices x 357k rows.  Measured
+281 ms/layer vs ~127 ms of pure gather at the 360 M rows/s floor -- this
+bench times body variants to find the other ~150 ms.
+
+Usage: python tools/bench_msda_layer.py
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(f, *args, iters=5, warmup=2):
+    def sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(leaf.reshape(-1)[0].astype('float32'))
+    for _ in range(warmup):
+        out = f(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+BH, N, Q, HD, NLV, NPTS = 128, 22336, 22528, 32, 4, 4
+S = Q * NLV * NPTS
+C = 4 * HD
+
+
+def make_inputs():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (BH, S), 0, N, jnp.int32)
+    w4 = jax.random.uniform(ks[2], (BH, S, 4), jnp.bfloat16)
+    jax.block_until_ready((plane, idx, w4))
+    return plane, idx, w4
+
+
+def fold_matrix(n_rep, hd, dtype):
+    return jnp.tile(jnp.eye(hd, dtype=dtype), (n_rep, 1))
+
+
+@jax.jit
+def scan_gather_only(plane, idx, w4):
+    # gather + trivial reduce (keeps output small without the fold)
+    def body(_, xs):
+        p, i, _w = xs
+        rows = p[i]
+        return None, jnp.sum(rows.astype(jnp.float32), axis=0)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_full_body(plane, idx, w4):
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+    def body(_, xs):
+        p, i, w = xs
+        rows = p[i]
+        wfull = jnp.repeat(w, HD, axis=-1)
+        weighted = (rows * wfull).reshape(Q, NLV * NPTS * 4 * HD)
+        out = jax.lax.dot_general(
+            weighted, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, out.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_no_weight(plane, idx, w4):
+    # fold without the weight multiply: isolates the wfull repeat+mult
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+    def body(_, xs):
+        p, i, _w = xs
+        rows = p[i]
+        weighted = rows.reshape(Q, NLV * NPTS * 4 * HD)
+        out = jax.lax.dot_general(
+            weighted, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, out.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_gather_4way(plane, idx, w4):
+    # 4 independent per-level gathers per body (pipelining check)
+    fold = fold_matrix(NPTS * 4, HD, jnp.bfloat16)
+    sl = S // NLV
+
+    def body(_, xs):
+        p, i, w = xs
+        acc = None
+        for lvl in range(NLV):
+            rows = p[i.reshape(Q, NLV, NPTS)[:, lvl].reshape(-1)]
+            wl = w.reshape(Q, NLV, NPTS, 4)[:, lvl].reshape(-1, 4)
+            wfull = jnp.repeat(wl, HD, axis=-1)
+            weighted = (rows * wfull).reshape(Q, NPTS * 4 * HD)
+            o = jax.lax.dot_general(
+                weighted, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = o if acc is None else acc + o
+        return None, acc.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_pairs(plane, idx, w4):
+    # two slices per scan step (halves iteration count)
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+    p2 = plane.reshape(BH // 2, 2, N, C)
+    i2 = idx.reshape(BH // 2, 2, S)
+    w2 = w4.reshape(BH // 2, 2, S, 4)
+
+    def body(_, xs):
+        p, i, w = xs
+        outs = []
+        for k in range(2):
+            rows = p[k][i[k]]
+            wfull = jnp.repeat(w[k], HD, axis=-1)
+            weighted = (rows * wfull).reshape(Q, NLV * NPTS * 4 * HD)
+            o = jax.lax.dot_general(
+                weighted, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(o.astype(jnp.bfloat16))
+        return None, jnp.stack(outs)
+    _, out = jax.lax.scan(body, None, (p2, i2, w2))
+    return out
+
+
+def main():
+    plane, idx, w4 = make_inputs()
+    rows = BH * S
+    for label, fn in (('gather-only scan', scan_gather_only),
+                      ('full body (msda form)', scan_full_body),
+                      ('no-weight fold', scan_no_weight),
+                      ('4-way level gathers', scan_gather_4way),
+                      ('2 slices/step', scan_pairs)):
+        t = timeit(fn, plane, idx, w4)
+        print(f'{label:<26} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+
+
+@jax.jit
+def scan_barrier_body(plane, idx, w4):
+    # optimization_barrier between gather and weighting: keeps the fast
+    # gather emitter, pays one HBM round-trip for the rows
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+    def body(_, xs):
+        p, i, w = xs
+        rows = p[i]
+        rows = jax.lax.optimization_barrier(rows)
+        wfull = jnp.repeat(w, HD, axis=-1)
+        weighted = (rows * wfull).reshape(Q, NLV * NPTS * 4 * HD)
+        out = jax.lax.dot_general(
+            weighted, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, out.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_barrier_bcast3d(plane, idx, w4):
+    # barrier + (S,4,hd)*(S,4,1) broadcast instead of repeat
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+    def body(_, xs):
+        p, i, w = xs
+        rows = jax.lax.optimization_barrier(p[i])
+        weighted = (rows.reshape(S, 4, HD) * w[..., None]).reshape(
+            Q, NLV * NPTS * 4 * HD)
+        out = jax.lax.dot_general(
+            weighted, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, out.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+@jax.jit
+def scan_batched_dot(plane, idx, w4):
+    # barrier + per-query batched matvec (w (q,64) x R (q,64,hd))
+    def body(_, xs):
+        p, i, w = xs
+        rows = jax.lax.optimization_barrier(p[i])
+        r3 = rows.reshape(Q, NLV * NPTS * 4, HD)
+        wq = w.reshape(Q, NLV * NPTS * 4)
+        out = jax.lax.dot_general(
+            wq, r3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return None, out.astype(jnp.bfloat16)
+    _, out = jax.lax.scan(body, None, (plane, idx, w4))
+    return out
+
+
+def main2():
+    plane, idx, w4 = make_inputs()
+    rows = BH * S
+    for label, fn in (('barrier + repeat mult', scan_barrier_body),
+                      ('barrier + bcast3d mult', scan_barrier_bcast3d),
+                      ('barrier + batched dot', scan_batched_dot)):
+        t = timeit(fn, plane, idx, w4)
+        print(f'{label:<26} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+
+
+def main3():
+    """Time the real op + the real encoder layer at b16 encoder shapes."""
+    from demf_tpu.ops.msda import multi_scale_deformable_attention
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    sum_hw = sum(h * w for h, w in shapes)
+    b, heads, hd = 16, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
+    locs = jax.random.uniform(
+        ks[1], (b, sum_hw, heads, NLV, NPTS, 2), jnp.float32)
+    aw = jax.nn.softmax(jax.random.normal(
+        ks[2], (b, sum_hw, heads, NLV, NPTS), jnp.float32).reshape(
+            b, sum_hw, heads, -1), axis=-1).reshape(
+                b, sum_hw, heads, NLV, NPTS)
+    jax.block_until_ready((value, locs, aw))
+    fn = jax.jit(functools.partial(
+        multi_scale_deformable_attention, spatial_shapes=shapes))
+    t = timeit(lambda: fn(value, sampling_locations=locs,
+                          attention_weights=aw))
+    rows = b * heads * sum_hw * NLV * NPTS
+    print(f'real msda op               {t * 1e3:8.1f} ms  '
+          f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+    # full encoder layer (self-attn msda + FFN) via the model module
+    import demf_tpu.models  # noqa: F401
+    from demf_tpu.utils.registry import HEADS, build_from_cfg
+    from demf_tpu.zoo import load_model_cfg
+    cfg = load_model_cfg('demf/demf_votenet.py')
+    enc_cfg = dict(cfg.model['img_encoder'])
+    enc_cfg['encoder'] = {**dict(enc_cfg['encoder']), 'num_layers': 1}
+    enc = build_from_cfg(enc_cfg, HEADS)
+    lvls = [jax.random.normal(k, (b, h, w, 256), jnp.bfloat16)
+            for k, (h, w) in zip(jax.random.split(ks[0], 4), shapes)]
+    img_shape = jnp.tile(jnp.asarray(
+        [[800, 1333]], jnp.float32), (b, 1))
+    variables = jax.jit(lambda r: enc.init(
+        r, lvls, img_shape, train=False))(jax.random.PRNGKey(1))
+    efwd = jax.jit(lambda v, x: enc.apply(v, x, img_shape, train=False))
+    t = timeit(efwd, variables, lvls)
+    print(f'1-layer encoder            {t * 1e3:8.1f} ms', flush=True)
+
+
+def main4():
+    """Attribute the msda op preamble: quad build, geometry, w4 prep."""
+    from demf_tpu.ops import msda as M
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    sum_hw = sum(h * w for h, w in shapes)
+    b, heads, hd = 16, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
+    locs = jax.random.uniform(
+        ks[1], (b, sum_hw, heads, NLV, NPTS, 2), jnp.float32)
+    aw = jax.nn.softmax(jax.random.normal(
+        ks[2], (b, sum_hw, heads, NLV, NPTS), jnp.float32).reshape(
+            b, sum_hw, heads, -1), axis=-1).reshape(
+                b, sum_hw, heads, NLV, NPTS)
+    jax.block_until_ready((value, locs, aw))
+
+    quad = jax.jit(lambda v: M._build_quad_plane(v, shapes, jnp.bfloat16))
+    t = timeit(quad, value)
+    print(f'quad plane build           {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def geo(l, a):
+        g = M._geometry(shapes, l)
+        idx = g['idx'].reshape(b * heads, -1)
+        w4g = g['wslot'].reshape(b * heads, -1, 4)
+        awf = jnp.moveaxis(a, 2, 1).reshape(b * heads, -1)
+        return idx, w4g * awf[..., None].astype(w4g.dtype)
+    t = timeit(geo, locs, aw)
+    print(f'geometry + w4 prep         {t * 1e3:8.1f} ms', flush=True)
+
+
+def main5():
+    """Gather rate with a 45 MB per-step operand (scan over b only)."""
+    b_, heads = 16, 8
+    n_all = heads * N
+    s_b = Q * heads * NLV * NPTS
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    plane = jax.random.normal(ks[0], (b_, n_all, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (b_, s_b), 0, n_all, jnp.int32)
+    w4f = jax.random.uniform(ks[2], (b_, s_b * 4), jnp.bfloat16)
+    jax.block_until_ready((plane, idx, w4f))
+    fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+    @jax.jit
+    def scan_b(plane, idx, w4f):
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            wfull = jnp.repeat(w.reshape(s_b, 4), HD, axis=-1)
+            weighted = (rows * wfull).reshape(
+                Q * heads, NLV * NPTS * 4 * HD)
+            out = jax.lax.dot_general(
+                weighted, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.reshape(Q, heads * HD).astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4f))
+        return out
+
+    rows = b_ * s_b
+    t = timeit(scan_b, plane, idx, w4f)
+    print(f'scan-over-b (45MB operand) {t * 1e3:8.1f} ms  '
+          f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+if __name__ == '__main__':
+    if '--v5' in sys.argv:
+        main5()
+    elif '--v4' in sys.argv:
+        main4()
+    elif '--v3' in sys.argv:
+        main3()
+    elif '--v2' in sys.argv:
+        main2()
+    else:
+        main()
