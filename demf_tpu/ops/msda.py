@@ -81,17 +81,29 @@ def _build_quad_plane(value, spatial_shapes, gather_dtype):
     return jnp.concatenate(planes, axis=2)
 
 
-def _geometry(spatial_shapes, locs_c):
-    """Vectorized sample geometry for one query chunk (query-major).
+def _geometry(spatial_shapes, locs):
+    """Vectorized sample geometry in lp-major, Q-minor layout.
+
+    Every intermediate keeps Q (tens of thousands) as the minor dim so
+    elementwise geometry runs on unpadded (8, 128)-tileable arrays; the
+    query-major layout's minor dims of 4/2 tile-pad 32-64x and cost
+    ~78 ms/layer at b16 encoder shapes (tools/bench_msda_layer.py --v4
+    vs --v7: 18.7 ms for this form).
 
     Args:
-        locs_c: (B, qc, heads, L, P, 2) normalized [0, 1] (x, y).
-    Returns dict with (B, heads, qc, L, P)-shaped f32 tensors:
+        locs: (B, Q, heads, L, P, 2) normalized [0, 1] (x, y).
+    Returns dict with (B, heads, L, P, Q)-shaped f32 tensors:
         idx (int32 row into the level-concatenated quad plane),
-        x, y (pixel coords), bx, by (quad base), and wslot (..., 4).
+        x, y (pixel coords), bx, by (quad base), and ws (list of 4
+        per-slot bilinear weights in _SLOTS order).
     """
-    nlv = locs_c.shape[3]
-    loc = jnp.moveaxis(locs_c, 2, 1)                      # (B,h,qc,L,P,2)
+    b, q, heads, nlv, npts, _ = locs.shape
+    # one fused transpose to Q-minor; barrier forces it to materialize
+    # as a copy instead of leaking strided reads into every consumer
+    t = jnp.transpose(locs.reshape(b, q, heads * nlv * npts * 2),
+                      (0, 2, 1))
+    t = jax.lax.optimization_barrier(t).reshape(
+        b, heads, nlv, npts, 2, q)
     wvec = jnp.asarray([w for (_, w) in spatial_shapes], jnp.float32)
     hvec = jnp.asarray([h for (h, _) in spatial_shapes], jnp.float32)
     starts = [0]
@@ -102,9 +114,9 @@ def _geometry(spatial_shapes, locs_c):
                       jnp.float32)
     hm2 = jnp.asarray([max(h - 2, 0) for (h, _) in spatial_shapes],
                       jnp.float32)
-    lshape = (1, 1, 1, nlv, 1)
-    x = loc[..., 0] * wvec.reshape(lshape) - 0.5
-    y = loc[..., 1] * hvec.reshape(lshape) - 0.5
+    lshape = (1, 1, nlv, 1, 1)
+    x = t[:, :, :, :, 0] * wvec.reshape(lshape) - 0.5
+    y = t[:, :, :, :, 1] * hvec.reshape(lshape) - 0.5
     bx = jnp.clip(jnp.floor(x), 0.0, wm2.reshape(lshape))
     by = jnp.clip(jnp.floor(y), 0.0, hm2.reshape(lshape))
     idx = (svec.reshape(lshape) + by * wvec.reshape(lshape) + bx)
@@ -114,7 +126,15 @@ def _geometry(spatial_shapes, locs_c):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (by + dy)))
         ws.append(wx * wy)
     return dict(idx=idx.astype(jnp.int32), x=x, y=y, bx=bx, by=by,
-                wslot=jnp.stack(ws, axis=-1), wvec=wvec, hvec=hvec)
+                ws=ws, wvec=wvec, hvec=hvec)
+
+
+def _aw_lpq(aw):
+    """(B, Q, heads, L, P) attention weights -> (B, heads, L, P, Q)."""
+    b, q, heads, nlv, npts = aw.shape
+    t = jnp.transpose(aw.reshape(b, q, heads * nlv * npts), (0, 2, 1))
+    return jax.lax.optimization_barrier(t).reshape(
+        b, heads, nlv, npts, q)
 
 
 def _fold_matrix(n_rep, hd, dtype):
@@ -131,11 +151,12 @@ def _precision(compute_dtype):
 
 
 def _slice_forward(plane_s, idx_s, w4_s, q, hd, nlv, npts, compute_dtype):
-    """One (b, h) slice: gather all S = q*L*P quad rows + weighted fold.
+    """One (b, h) slice: gather all S = L*P*q quad rows + weighted fold.
 
-    plane_s (N, 4hd); idx_s (S,) i32; w4_s (S, 4) attn*bilinear weights.
-    Returns (q, hd) f32.  The ``plane_s[idx_s]`` gather is the whole
-    point of the scan-over-slice formulation (module docstring).
+    plane_s (N, 4hd); idx_s (S,) i32 lp-major ((l, p, q) order); w4_s
+    (S, 4) attn*bilinear weights.  Returns (q, hd) f32.  The
+    ``plane_s[idx_s]`` gather is the whole point of the
+    scan-over-slice formulation (module docstring).
     """
     # optimization_barrier: without it XLA fuses the weighting into the
     # gather consumer and the gather drops off its fast vector-load path
@@ -143,20 +164,22 @@ def _slice_forward(plane_s, idx_s, w4_s, q, hd, nlv, npts, compute_dtype):
     rows = jax.lax.optimization_barrier(plane_s[idx_s])   # (S, 4hd)
     wfull = jnp.repeat(w4_s.astype(compute_dtype), hd, axis=-1)
     weighted = rows.astype(compute_dtype) * wfull
-    weighted = weighted.reshape(q, nlv * npts * 4 * hd)
-    fold = _fold_matrix(nlv * npts * 4, hd, compute_dtype)
+    # lp-major fold: contract both the lp batch axis and the slot
+    # channel axis in one dot (146 vs 183 ms for the q-major single
+    # fold at b16 encoder shapes, bench --v6)
+    weighted = weighted.reshape(nlv * npts, q, 4 * hd)
+    fold = jnp.tile(_fold_matrix(4, hd, compute_dtype)[None],
+                    (nlv * npts, 1, 1))                   # (LP, 4hd, hd)
     return jax.lax.dot_general(
-        weighted, fold, (((1,), (0,)), ((), ())),
+        weighted, fold, (((0, 2), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_precision(compute_dtype))              # (q, hd) f32
 
 
 def _g4_tile(g_s, q, hd, nlv, npts, dtype):
-    """(q, hd) upstream grad -> (S, 4hd) tiled to samples and slots."""
-    s = q * nlv * npts
-    g4 = jnp.broadcast_to(g_s.astype(dtype)[:, None],
-                          (q, nlv * npts, hd)).reshape(s, hd)
-    return jnp.tile(g4, (1, 4))
+    """(q, hd) upstream grad -> (S, 4hd) tiled to lp-major samples and
+    slots: g4[lp*q + b, slot*hd + j] = g_s[b, j]."""
+    return jnp.tile(g_s.astype(dtype), (nlv * npts, 4))
 
 
 def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
@@ -193,13 +216,13 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
     return dplane, d_aw, D
 
 
-def _loc_grads(geo, D, aw):
+def _loc_grads(geo, D, aw_t):
     """Location gradients from per-slot dots (all slices at once).
 
-    D: (B, h, Q, L, P, 4) per-slot dots; aw: (B, h, Q, L, P).
+    D: (B, h, L, P, Q, 4) per-slot dots; aw_t: (B, h, L, P, Q).
     Returns d_locs (B, Q, h, L, P, 2).
     """
-    dW = aw.astype(jnp.float32)[..., None] * D
+    dW = aw_t.astype(jnp.float32)[..., None] * D
     x, y, bx, by = geo['x'], geo['y'], geo['bx'], geo['by']
     dx_acc = jnp.zeros_like(x)
     dy_acc = jnp.zeros_like(y)
@@ -215,11 +238,12 @@ def _loc_grads(geo, D, aw):
         dx_acc = dx_acc + dW[..., si] * gx
         dy_acc = dy_acc + dW[..., si] * gy
     # chain: x = loc_x * w_level - 0.5
-    nlv = x.shape[3]
-    lshape = (1, 1, 1, nlv, 1)
+    nlv = x.shape[2]
+    lshape = (1, 1, nlv, 1, 1)
     d_locs = jnp.stack([dx_acc * geo['wvec'].reshape(lshape),
                         dy_acc * geo['hvec'].reshape(lshape)], axis=-1)
-    return jnp.moveaxis(d_locs, 1, 2)                     # (B,Q,h,L,P,2)
+    # (B,h,L,P,Q,2) -> (B,Q,h,L,P,2)
+    return jnp.transpose(d_locs, (0, 4, 1, 2, 3, 5))
 
 
 def _bilinear_gather_rows(value_rows, loc_xy, h, w, out_dtype):
@@ -311,13 +335,13 @@ def _make_msda(spatial_shapes, gather_dtype_name):
     nlv = len(spatial_shapes)
 
     def _geo_flat(locs):
-        """Geometry, reshaped to fused-slice layout (BH, S, ...)."""
+        """Geometry, reshaped to fused-slice lp-major layout (BH, S, ...)."""
         b, q, heads = locs.shape[:3]
         npts = locs.shape[4]
         s = q * nlv * npts
         geo = _geometry(spatial_shapes, locs)
         idx = geo['idx'].reshape(b * heads, s)
-        w4geo = geo['wslot'].reshape(b * heads, s, 4)
+        w4geo = jnp.stack(geo['ws'], axis=-1).reshape(b * heads, s, 4)
         return geo, idx, w4geo
 
     @jax.custom_vjp
@@ -330,9 +354,14 @@ def _make_msda(spatial_shapes, gather_dtype_name):
         npts = locs.shape[4]
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
         plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
-        _, idx, w4geo = _geo_flat(locs)
-        awf = jnp.moveaxis(aw, 2, 1).reshape(b * heads, q * nlv * npts)
-        w4 = w4geo * awf[..., None].astype(w4geo.dtype)
+        geo = _geometry(spatial_shapes, locs)
+        idx = geo['idx'].reshape(b * heads, q * nlv * npts)
+        aw_t = _aw_lpq(aw)                                # (B,h,L,P,Q)
+        # per-slot weight * attention in the unpadded Q-minor layout,
+        # stacked slot-minor only at the very end
+        w4 = jnp.stack(
+            [(w * aw_t).astype(compute_dtype) for w in geo['ws']],
+            axis=-1).reshape(b * heads, q * nlv * npts, 4)
 
         def body(_, xs):
             p_s, idx_s, w4_s = xs
@@ -354,7 +383,8 @@ def _make_msda(spatial_shapes, gather_dtype_name):
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
         plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
         geo, idx, w4geo = _geo_flat(locs)
-        awf = jnp.moveaxis(aw, 2, 1).reshape(b * heads, s)
+        aw_t = _aw_lpq(aw)                                # (B,h,L,P,Q)
+        awf = aw_t.reshape(b * heads, s)
         gh = jnp.moveaxis(
             g.reshape(b, q, heads, hd).astype(jnp.float32), 2, 1)
         gh = gh.reshape(b * heads, q, hd)
@@ -369,10 +399,11 @@ def _make_msda(spatial_shapes, gather_dtype_name):
         _, (dquad, d_aw_f, D_f) = jax.lax.scan(
             body, None, (plane, idx, w4geo, awf, gh))
 
-        d_aw = jnp.moveaxis(
-            d_aw_f.reshape(b, heads, q, nlv, npts), 1, 2)
-        D = D_f.reshape(b, heads, q, nlv, npts, 4)
-        d_locs = _loc_grads(geo, D, jnp.moveaxis(aw, 2, 1))
+        # lp-major (BH, S) -> (B, Q, h, L, P)
+        d_aw = jnp.transpose(
+            d_aw_f.reshape(b, heads, nlv, npts, q), (0, 4, 1, 2, 3))
+        D = D_f.reshape(b, heads, nlv, npts, q, 4)
+        d_locs = _loc_grads(geo, D, aw_t)
 
         dquad = dquad.reshape(b, heads, -1, 4 * hd)
         starts = [0]

@@ -333,8 +333,210 @@ def main5():
           f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
 
 
+def main6():
+    """lp-major body variants: w4 passed as (4, S) slot-major (unpadded),
+    wfull built by fused broadcast+concat, fold adapted to lp-major
+    sample order (q no longer outermost in S)."""
+    LP = NLV * NPTS
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (BH, S), 0, N, jnp.int32)
+    ws = jax.random.uniform(ks[2], (BH, 4, S), jnp.bfloat16)
+    jax.block_until_ready((plane, idx, ws))
+
+    def wfull_bcast(w_s):
+        # (4, S) -> (S, 4hd) via per-slot broadcasts + concat (fusable)
+        return jnp.concatenate(
+            [jnp.broadcast_to(w_s[k][:, None], (S, HD)) for k in range(4)],
+            axis=1)
+
+    @jax.jit
+    def lp_einsum(plane, idx, ws):
+        fold = fold_matrix(4, HD, jnp.bfloat16)           # (4hd, hd)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            weighted = (rows * wfull_bcast(w)).reshape(LP, Q, C)
+            out = jnp.einsum('lqc,cj->qj', weighted, fold,
+                             preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, ws))
+        return out
+
+    @jax.jit
+    def lp_unrolled(plane, idx, ws):
+        fold = fold_matrix(4, HD, jnp.bfloat16)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            weighted = (rows * wfull_bcast(w)).reshape(LP, Q, C)
+            acc = None
+            for lp in range(LP):
+                o = jax.lax.dot_general(
+                    weighted[lp], fold, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = o if acc is None else acc + o
+            return None, acc.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, ws))
+        return out
+
+    @jax.jit
+    def lp_dot2(plane, idx, ws):
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))                        # (LP, 4hd, hd)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            weighted = (rows * wfull_bcast(w)).reshape(LP, Q, C)
+            out = jax.lax.dot_general(
+                weighted, fold, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, ws))
+        return out
+
+    w4sm = jax.random.uniform(ks[2], (BH, S, 4), jnp.bfloat16)
+    jax.block_until_ready(w4sm)
+
+    @jax.jit
+    def lp_repeat_dot2(plane, idx, w4):
+        # isolate: (S,4)+repeat wfull (the q-major winner's form) with
+        # the lp-major 2-contract fold
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            wfull = jnp.repeat(w, HD, axis=-1)
+            weighted = (rows * wfull).reshape(LP, Q, C)
+            out = jax.lax.dot_general(
+                weighted, fold, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def q_bcast_fold(plane, idx, ws):
+        # isolate: bcast-concat wfull with the q-major single big fold
+        fold = fold_matrix(NLV * NPTS * 4, HD, jnp.bfloat16)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            weighted = (rows * wfull_bcast(w)).reshape(
+                Q, NLV * NPTS * 4 * HD)
+            out = jax.lax.dot_general(
+                weighted, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, ws))
+        return out
+
+    rows = BH * S
+    for label, fn in (('lp repeat + 2-contract', lambda p, i, w: lp_repeat_dot2(p, i, w4sm)),
+                      ('q bcast + single fold', q_bcast_fold),
+                      ('lp einsum fold', lp_einsum),
+                      ('lp unrolled 16-matmul', lp_unrolled),
+                      ('lp 2-contract dot', lp_dot2)):
+        try:
+            t = timeit(fn, plane, idx, ws)
+            print(f'{label:<26} {t * 1e3:8.1f} ms  '
+                  f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f'{label:<26} FAILED: {type(e).__name__}: '
+                  f'{str(e)[:200]}', flush=True)
+
+
+def main7():
+    """Geometry prep cost in lp-major (Q-minor) layout vs the current
+    (B,h,Q,L,P) padded layout (main4's 78 ms)."""
+    b, heads = 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    locs = jax.random.uniform(
+        ks[1], (b, Q, heads, NLV, NPTS, 2), jnp.float32)
+    aw = jax.random.uniform(ks[2], (b, Q, heads, NLV, NPTS), jnp.float32)
+    jax.block_until_ready((locs, aw))
+
+    wvec = jnp.asarray([w for (_, w) in shapes], jnp.float32)
+    hvec = jnp.asarray([h for (h, _) in shapes], jnp.float32)
+    starts = [0]
+    for (h, w) in shapes:
+        starts.append(starts[-1] + h * w)
+    svec = jnp.asarray(starts[:-1], jnp.float32)
+    wm2 = jnp.asarray([max(w - 2, 0) for (_, w) in shapes], jnp.float32)
+    hm2 = jnp.asarray([max(h - 2, 0) for (h, _) in shapes], jnp.float32)
+    SLOTS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    @jax.jit
+    def geo_lpq(locs, aw):
+        # (B,Q,h,L,P,2) -> (B, h*L*P*2, Q) -> (B,h,L,P,2,Q)
+        t = jnp.transpose(
+            locs.reshape(b, Q, heads * NLV * NPTS * 2), (0, 2, 1))
+        t = jax.lax.optimization_barrier(t).reshape(
+            b, heads, NLV, NPTS, 2, Q)
+        lshape = (1, 1, NLV, 1, 1)
+        x = t[:, :, :, :, 0] * wvec.reshape(lshape) - 0.5
+        y = t[:, :, :, :, 1] * hvec.reshape(lshape) - 0.5
+        bx = jnp.clip(jnp.floor(x), 0.0, wm2.reshape(lshape))
+        by = jnp.clip(jnp.floor(y), 0.0, hm2.reshape(lshape))
+        idx = (svec.reshape(lshape) + by * wvec.reshape(lshape) + bx)
+        awT = jnp.transpose(
+            aw.reshape(b, Q, heads * NLV * NPTS), (0, 2, 1))
+        awT = jax.lax.optimization_barrier(awT).reshape(
+            b, heads, NLV, NPTS, Q)
+        ws = []
+        for dy, dx in SLOTS:
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (bx + dx)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (by + dy)))
+            ws.append((wx * wy * awT).astype(jnp.bfloat16))
+        w4 = jnp.stack(ws, axis=2)                     # (B,h,4,L,P,Q)
+        return (idx.astype(jnp.int32).reshape(BH, S),
+                w4.reshape(BH, 4, S))
+    t = timeit(geo_lpq, locs, aw)
+    print(f'lpq geometry + w4 prep     {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def geo_lpq_s4(locs, aw):
+        # same geometry but emits w4 as (BH, S, 4) slot-minor (what the
+        # winning lp repeat + 2-contract body consumes)
+        t = jnp.transpose(
+            locs.reshape(b, Q, heads * NLV * NPTS * 2), (0, 2, 1))
+        t = jax.lax.optimization_barrier(t).reshape(
+            b, heads, NLV, NPTS, 2, Q)
+        lshape = (1, 1, NLV, 1, 1)
+        x = t[:, :, :, :, 0] * wvec.reshape(lshape) - 0.5
+        y = t[:, :, :, :, 1] * hvec.reshape(lshape) - 0.5
+        bx = jnp.clip(jnp.floor(x), 0.0, wm2.reshape(lshape))
+        by = jnp.clip(jnp.floor(y), 0.0, hm2.reshape(lshape))
+        idx = (svec.reshape(lshape) + by * wvec.reshape(lshape) + bx)
+        awT = jnp.transpose(
+            aw.reshape(b, Q, heads * NLV * NPTS), (0, 2, 1))
+        awT = jax.lax.optimization_barrier(awT).reshape(
+            b, heads, NLV, NPTS, Q)
+        ws = []
+        for dy, dx in SLOTS:
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (bx + dx)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (by + dy)))
+            ws.append((wx * wy * awT).astype(jnp.bfloat16))
+        w4 = jnp.stack(ws, axis=-1)                    # (B,h,L,P,Q,4)
+        return (idx.astype(jnp.int32).reshape(BH, S),
+                w4.reshape(BH, S, 4))
+    t = timeit(geo_lpq_s4, locs, aw)
+    print(f'lpq geometry + (S,4) w4    {t * 1e3:8.1f} ms', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v5' in sys.argv:
+    if '--v7' in sys.argv:
+        main7()
+    elif '--v6' in sys.argv:
+        main6()
+    elif '--v5' in sys.argv:
         main5()
     elif '--v4' in sys.argv:
         main4()
