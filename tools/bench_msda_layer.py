@@ -531,8 +531,74 @@ def main7():
     print(f'lpq geometry + (S,4) w4    {t * 1e3:8.1f} ms', flush=True)
 
 
+def main8():
+    """Flat (S*4,) w4 scan input vs (S, 4): the (S,4) array tile-pads
+    its minor dim 32x (11.8 GB at BH=128), so both its materialization
+    and the scan's re-read may pay; the flat form is unpadded."""
+    LP = NLV * NPTS
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (BH, S), 0, N, jnp.int32)
+    w4flat = jax.random.uniform(ks[2], (BH, S * 4), jnp.bfloat16)
+    jax.block_until_ready((plane, idx, w4flat))
+
+    @jax.jit
+    def lp_flat(plane, idx, w4f):
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            wfull = jnp.repeat(w.reshape(S, 4), HD, axis=-1)
+            weighted = (rows * wfull).reshape(LP, Q, C)
+            out = jax.lax.dot_general(
+                weighted, fold, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4f))
+        return out
+
+    rows = BH * S
+    t = timeit(lp_flat, plane, idx, w4flat)
+    print(f'lp flat-w4 scan            {t * 1e3:8.1f} ms  '
+          f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+def main9():
+    """Forward+backward (VJP) of the real op at b16 encoder shapes."""
+    from demf_tpu.ops.msda import multi_scale_deformable_attention
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    sum_hw = sum(h * w for h, w in shapes)
+    b, heads, hd = 16, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
+    locs = jax.random.uniform(
+        ks[1], (b, sum_hw, heads, NLV, NPTS, 2), jnp.float32)
+    aw = jax.nn.softmax(jax.random.normal(
+        ks[2], (b, sum_hw, heads, NLV, NPTS), jnp.float32).reshape(
+            b, sum_hw, heads, -1), axis=-1).reshape(
+                b, sum_hw, heads, NLV, NPTS)
+    jax.block_until_ready((value, locs, aw))
+
+    def loss(v, l, a):
+        out = multi_scale_deformable_attention(
+            v, shapes, sampling_locations=l, attention_weights=a)
+        return jnp.sum(out.astype(jnp.float32))
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    t = timeit(g, value, locs, aw, iters=3)
+    rows = b * heads * sum_hw * NLV * NPTS
+    print(f'real op fwd+bwd            {t * 1e3:8.1f} ms  '
+          f'{rows / t / 1e6:7.1f} M rows/s(fwd-equiv)', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v7' in sys.argv:
+    if '--v9' in sys.argv:
+        main9()
+    elif '--v8' in sys.argv:
+        main8()
+    elif '--v7' in sys.argv:
         main7()
     elif '--v6' in sys.argv:
         main6()
