@@ -593,8 +593,72 @@ def main9():
           f'{rows / t / 1e6:7.1f} M rows/s(fwd-equiv)', flush=True)
 
 
+def main10():
+    """Attribute the backward scan: re-gather + D dots vs scatter-add."""
+    LP = NLV * NPTS
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (BH, S), 0, N, jnp.int32)
+    w4 = jax.random.uniform(ks[2], (BH, S, 4), jnp.bfloat16)
+    g = jax.random.normal(ks[3], (BH, Q, HD), jnp.float32)
+    jax.block_until_ready((plane, idx, w4, g))
+
+    @jax.jit
+    def bwd_dots_only(plane, idx, w4, g):
+        slotpick = jnp.repeat(jnp.eye(4, dtype=jnp.bfloat16), HD, axis=0)
+
+        def body(_, xs):
+            p, i, w, g_s = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            g4 = jnp.tile(g_s.astype(jnp.bfloat16), (LP, 4))
+            D = jax.lax.dot_general(
+                rows * g4, slotpick, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_aw = jnp.sum(w.astype(jnp.float32) * D, axis=-1)
+            return None, (d_aw, D)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    @jax.jit
+    def bwd_scatter_only(plane, idx, w4, g):
+        def body(_, xs):
+            p, i, w, g_s = xs
+            wfull = jnp.repeat(w.astype(jnp.float32), HD, axis=-1)
+            upd = wfull * jnp.tile(g_s, (LP, 4))
+            upd = jax.lax.optimization_barrier(upd)
+            dplane = jnp.zeros(p.shape, jnp.float32).at[i].add(upd)
+            return None, dplane.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    @jax.jit
+    def bwd_scatter_bf16(plane, idx, w4, g):
+        # f32 accumulation is required for correctness; this measures the
+        # update-stream dtype cost only
+        def body(_, xs):
+            p, i, w, g_s = xs
+            wfull = jnp.repeat(w, HD, axis=-1)
+            upd = wfull * jnp.tile(g_s.astype(jnp.bfloat16), (LP, 4))
+            upd = jax.lax.optimization_barrier(upd)
+            dplane = jnp.zeros(p.shape, jnp.float32).at[i].add(
+                upd.astype(jnp.float32))
+            return None, dplane.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    rows = BH * S
+    for label, fn in (('bwd re-gather + D dots', bwd_dots_only),
+                      ('bwd scatter-add (f32 upd)', bwd_scatter_only),
+                      ('bwd scatter-add (bf16 upd)', bwd_scatter_bf16)):
+        t = timeit(fn, plane, idx, w4, g, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v9' in sys.argv:
+    if '--v10' in sys.argv:
+        main10()
+    elif '--v9' in sys.argv:
         main9()
     elif '--v8' in sys.argv:
         main8()
