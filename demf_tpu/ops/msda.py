@@ -189,30 +189,48 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
     w4geo_s: (S, 4) bilinear slot weights (geometry only, no attn).
     aw_s: (S,) attention weights.  g_s: (q, hd) f32 upstream grad.
     Returns (dplane_s (N, 4hd) f32, d_aw (S,), D (S, 4) per-slot dots).
+
+    The upstream grad enters BOTH branches (per-slot dots and the
+    scatter update) as a small (q, 4*hd) slot-tile broadcast along the
+    leading LP axis of (LP, q, 4*hd)-shaped temporaries — NOT as a
+    materialized (S, 4*hd) tile.  With a constant cotangent (a plain
+    ``sum`` loss) XLA folds these terms away entirely, which is why
+    sum-loss microbenches under-measure this backward (bench
+    --v9 docstring).
     """
-    s = q * nlv * npts
+    lp = nlv * npts
     # barrier: same gather fast-path protection as _slice_forward
     rows = jax.lax.optimization_barrier(plane_s[idx_s])   # (S, 4hd)
-    g4 = _g4_tile(g_s, q, hd, nlv, npts, compute_dtype)
+    rows3 = rows.reshape(lp, q, 4 * hd)
+    gslot = jnp.tile(g_s.astype(compute_dtype), (1, 4))   # (q, 4hd)
     slotpick = jnp.repeat(jnp.eye(4, dtype=compute_dtype), hd, axis=0)
     # per-slot dots D[s, slot] = <g, rows_slot>: fold hd groups on the
-    # MXU (an (S, 4hd) x (4hd, 4) matmul) to avoid (..., 4, hd)
-    # tile-padded temporaries
+    # MXU (batched (LP, q, 4hd) x (4hd, 4) matmul) to avoid
+    # (..., 4, hd) tile-padded temporaries
     D = jax.lax.dot_general(
-        rows.astype(compute_dtype) * g4, slotpick,
-        (((1,), (0,)), ((), ())),
+        rows3.astype(compute_dtype) * gslot[None], slotpick,
+        (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_precision(compute_dtype))              # (S, 4)
+        precision=_precision(compute_dtype))              # (LP, q, 4)
+    D = D.reshape(q * lp, 4)                              # (S, 4)
     d_aw = jnp.sum(w4geo_s * D, axis=-1)                  # (S,)
     # d_quad scatter: upd = (attn * wslot) x g, accumulated per slice --
-    # the scan-over-slice scatter mirrors the gather's fast path
-    wfull = jnp.repeat((w4geo_s * aw_s[:, None]).astype(jnp.float32),
-                       hd, axis=-1)
-    upd = wfull * _g4_tile(g_s, q, hd, nlv, npts, jnp.float32)
+    # the scan-over-slice scatter mirrors the gather's fast path.  The
+    # update STREAM is kept in compute_dtype (bf16 in the default
+    # policy): the scatter is traffic-bound and a bf16 stream runs 1.5x
+    # faster (639 -> 435 ms/layer standalone, bench_msda_layer --v10)
+    # while accumulation stays f32; grads through the value plane are
+    # already bf16-quantized by the forward's gather_dtype policy, so
+    # this adds no new precision class (f32 oracle mode is unchanged).
+    wfull3 = jnp.repeat(
+        (w4geo_s * aw_s[:, None]).astype(compute_dtype).reshape(lp, q, 4),
+        hd, axis=-1)                                      # (LP, q, 4hd)
+    upd = (wfull3 * gslot[None]).reshape(q * lp, 4 * hd)
     # barrier: keep the elementwise update producer out of the scatter
     # fusion (mirror of the gather effect)
     upd = jax.lax.optimization_barrier(upd)
-    dplane = jnp.zeros(plane_s.shape, jnp.float32).at[idx_s].add(upd)
+    dplane = jnp.zeros(plane_s.shape, jnp.float32).at[idx_s].add(
+        upd.astype(jnp.float32))
     return dplane, d_aw, D
 
 

@@ -35,7 +35,8 @@ def timeit(f, *args, iters=5, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-BH, N, Q, HD, NLV, NPTS = 128, 22336, 22528, 32, 4, 4
+_B = int(os.environ.get('MSDA_BENCH_B', '16'))
+BH, N, Q, HD, NLV, NPTS = _B * 8, 22336, 22528, 32, 4, 4
 S = Q * NLV * NPTS
 C = 4 * HD
 
@@ -232,7 +233,7 @@ def main3():
     from demf_tpu.ops.msda import multi_scale_deformable_attention
     shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
     sum_hw = sum(h * w for h, w in shapes)
-    b, heads, hd = 16, 8, 32
+    b, heads, hd = _B, 8, 32
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
     locs = jax.random.uniform(
@@ -274,7 +275,7 @@ def main4():
     from demf_tpu.ops import msda as M
     shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
     sum_hw = sum(h * w for h, w in shapes)
-    b, heads, hd = 16, 8, 32
+    b, heads, hd = _B, 8, 32
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
     locs = jax.random.uniform(
@@ -566,12 +567,19 @@ def main8():
 
 
 def main9():
-    """Forward+backward (VJP) of the real op at b16 encoder shapes."""
+    """Forward+backward (VJP) of the real op at encoder shapes.
+
+    Uses a REAL (data-dependent) cotangent: a plain ``sum`` loss hands
+    the VJP a constant-ones upstream grad, which XLA folds into the
+    backward (the g4 tiles become constants and the D dots collapse to
+    row sums) — that under-measured the backward by ~60% vs the
+    in-model cost (measured 139 vs 225 ms/layer at b4).
+    """
     from demf_tpu.ops.msda import multi_scale_deformable_attention
     shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
     sum_hw = sum(h * w for h, w in shapes)
-    b, heads, hd = 16, 8, 32
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, heads, hd = _B, 8, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
     value = jax.random.normal(ks[0], (b, sum_hw, heads, hd), jnp.bfloat16)
     locs = jax.random.uniform(
         ks[1], (b, sum_hw, heads, NLV, NPTS, 2), jnp.float32)
@@ -579,12 +587,15 @@ def main9():
         ks[2], (b, sum_hw, heads, NLV, NPTS), jnp.float32).reshape(
             b, sum_hw, heads, -1), axis=-1).reshape(
                 b, sum_hw, heads, NLV, NPTS)
-    jax.block_until_ready((value, locs, aw))
+    wout = jax.random.normal(ks[3], (heads * hd, heads * hd),
+                             jnp.bfloat16) * 0.02
+    jax.block_until_ready((value, locs, aw, wout))
 
     def loss(v, l, a):
         out = multi_scale_deformable_attention(
             v, shapes, sampling_locations=l, attention_weights=a)
-        return jnp.sum(out.astype(jnp.float32))
+        # output proj makes the upstream cotangent data-dependent
+        return jnp.sum((out @ wout).astype(jnp.float32))
 
     g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
     t = timeit(g, value, locs, aw, iters=3)
@@ -655,8 +666,135 @@ def main10():
               f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
 
 
+def main11():
+    """Forward core variants: fold-matmul (current) vs slot-split
+    broadcast-multiply + LP reduction (no wfull repeat, no MXU)."""
+    LP = NLV * NPTS
+    plane, idx, w4 = make_inputs()
+
+    @jax.jit
+    def fold_current(plane, idx, w4):
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            wfull = jnp.repeat(w, HD, axis=-1)
+            weighted = (rows * wfull).reshape(LP, Q, C)
+            out = jax.lax.dot_general(
+                weighted, fold, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def slot_split(plane, idx, w4):
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wv = w.reshape(LP, Q, 4)
+            acc = jnp.zeros((Q, HD), jnp.float32)
+            for s in range(4):
+                part = rows[:, :, s * HD:(s + 1) * HD].astype(jnp.float32)
+                acc = acc + jnp.sum(
+                    part * wv[:, :, s, None].astype(jnp.float32), axis=0)
+            return None, acc.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def slot_split_bf16(plane, idx, w4):
+        # bf16 partial products, f32 accumulation across slots/LP via sum
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wv = w.reshape(LP, Q, 4)
+            acc = jnp.zeros((Q, HD), jnp.float32)
+            for s in range(4):
+                part = rows[:, :, s * HD:(s + 1) * HD] * wv[:, :, s, None]
+                acc = acc + jnp.sum(part.astype(jnp.float32), axis=0)
+            return None, acc.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    rows = BH * S
+    for label, fn in (('fold-matmul (current)', fold_current),
+                      ('slot-split f32', slot_split),
+                      ('slot-split bf16 prod', slot_split_bf16)):
+        t = timeit(fn, plane, idx, w4, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+def main12():
+    """Scatter-add accumulator-dtype and row-width variants."""
+    LP = NLV * NPTS
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    idx = jax.random.randint(ks[1], (BH, S), 0, N, jnp.int32)
+    w4 = jax.random.uniform(ks[2], (BH, S, 4), jnp.bfloat16)
+    g = jax.random.normal(ks[3], (BH, Q, HD), jnp.float32)
+    jax.block_until_ready((plane, idx, w4, g))
+
+    def make_upd(w, g_s):
+        gslot = jnp.tile(g_s.astype(jnp.bfloat16), (1, 4))
+        wfull3 = jnp.repeat(w.reshape(LP, Q, 4), HD, axis=-1)
+        return (wfull3 * gslot[None]).reshape(S, C)
+
+    @jax.jit
+    def scatter_f32acc(plane, idx, w4, g):
+        def body(_, xs):
+            p, i, w, g_s = xs
+            upd = jax.lax.optimization_barrier(make_upd(w, g_s))
+            d = jnp.zeros(p.shape, jnp.float32).at[i].add(
+                upd.astype(jnp.float32))
+            return None, d.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    @jax.jit
+    def scatter_bf16acc(plane, idx, w4, g):
+        def body(_, xs):
+            p, i, w, g_s = xs
+            upd = jax.lax.optimization_barrier(make_upd(w, g_s))
+            d = jnp.zeros(p.shape, jnp.bfloat16).at[i].add(upd)
+            return None, d
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    @jax.jit
+    def scatter_sorted_f32acc(plane, idx, w4, g):
+        # sort indices per slice, permute updates via a (fast) gather,
+        # then scatter with sorted indices
+        def body(_, xs):
+            p, i, w, g_s = xs
+            order = jnp.argsort(i)
+            upd = jax.lax.optimization_barrier(make_upd(w, g_s))
+            upd_s = jax.lax.optimization_barrier(upd[order])
+            d = jnp.zeros(p.shape, jnp.float32).at[i[order]].add(
+                upd_s.astype(jnp.float32),
+                indices_are_sorted=True)
+            return None, d.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    rows = BH * S
+    for label, fn in (('scatter f32 acc', scatter_f32acc),
+                      ('scatter bf16 acc', scatter_bf16acc),
+                      ('scatter sorted f32 acc', scatter_sorted_f32acc)):
+        t = timeit(fn, plane, idx, w4, g, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v10' in sys.argv:
+    if '--v12' in sys.argv:
+        main12()
+    elif '--v11' in sys.argv:
+        main11()
+    elif '--v10' in sys.argv:
         main10()
     elif '--v9' in sys.argv:
         main9()
