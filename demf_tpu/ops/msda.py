@@ -182,12 +182,26 @@ def _g4_tile(g_s, q, hd, nlv, npts, dtype):
     return jnp.tile(g_s.astype(dtype), (nlv * npts, 4))
 
 
+# one-hot-matmul threshold for the d_value accumulation: a level with
+# N_l rows costs ~2*S_l*N_l*128 MXU FLOPs as a matmul vs ~S_l/1e8 s as a
+# scatter; the crossover on v5e sits at N_l ~4k.  At reference encoder
+# shapes this routes levels 1-3 (4200/1050/273 rows) onto the MXU and
+# keeps only the 16800-row level as a scatter: 117 -> 87 ms/layer at b4
+# (tools/bench_msda_layer.py --v13; per-level split WITHOUT the matmul
+# is slower than the fused scatter, 132 ms -- the win is the MXU, not
+# the split).
+_ONEHOT_SCATTER_MAX_ROWS = 4608
+
+
 def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
-                    compute_dtype):
+                    compute_dtype, level_sizes):
     """Backward for one (b, h) slice.
 
     w4geo_s: (S, 4) bilinear slot weights (geometry only, no attn).
     aw_s: (S,) attention weights.  g_s: (q, hd) f32 upstream grad.
+    level_sizes: static per-level row counts (sum = N); the sample axis
+    is lp-major so level l's samples are the contiguous chunk
+    [l*npts*q, (l+1)*npts*q).
     Returns (dplane_s (N, 4hd) f32, d_aw (S,), D (S, 4) per-slot dots).
 
     The upstream grad enters BOTH branches (per-slot dots and the
@@ -229,8 +243,27 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
     # barrier: keep the elementwise update producer out of the scatter
     # fusion (mirror of the gather effect)
     upd = jax.lax.optimization_barrier(upd)
-    dplane = jnp.zeros(plane_s.shape, jnp.float32).at[idx_s].add(
-        upd.astype(jnp.float32))
+    # per-level d_value accumulation: one-hot MXU matmul for coarse
+    # levels, scatter-add for fine ones (see _ONEHOT_SCATTER_MAX_ROWS)
+    sl = npts * q
+    start = 0
+    parts = []
+    for lvl, n_l in enumerate(level_sizes):
+        il = idx_s[lvl * sl:(lvl + 1) * sl] - start
+        ul = upd[lvl * sl:(lvl + 1) * sl]
+        if n_l <= _ONEHOT_SCATTER_MAX_ROWS:
+            oh = (il[:, None] == jnp.arange(n_l, dtype=jnp.int32)
+                  ).astype(compute_dtype)                 # (SL, N_l)
+            d = jax.lax.dot_general(
+                oh, ul, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision(compute_dtype))
+        else:
+            d = jnp.zeros((n_l, 4 * hd), jnp.float32).at[il].add(
+                ul.astype(jnp.float32))
+        parts.append(d)
+        start += n_l
+    dplane = jnp.concatenate(parts, axis=0)
     return dplane, d_aw, D
 
 
@@ -407,11 +440,13 @@ def _make_msda(spatial_shapes, gather_dtype_name):
             g.reshape(b, q, heads, hd).astype(jnp.float32), 2, 1)
         gh = gh.reshape(b * heads, q, hd)
 
+        level_sizes = tuple(h * w for (h, w) in spatial_shapes)
+
         def body(_, xs):
             p_s, idx_s, w4_s, aw_s, g_s = xs
             dplane, d_aw, D = _slice_backward(
                 p_s, idx_s, w4_s, aw_s, g_s, q, hd, nlv, npts,
-                compute_dtype)
+                compute_dtype, level_sizes)
             return None, (dplane, d_aw, D)
 
         _, (dquad, d_aw_f, D_f) = jax.lax.scan(

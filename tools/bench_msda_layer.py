@@ -789,8 +789,183 @@ def main12():
               f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
 
 
+LEVELS = ((100, 168), (50, 84), (25, 42), (13, 21))
+LSIZES = tuple(h * w for h, w in LEVELS)
+LSTARTS = tuple(np.cumsum((0,) + LSIZES)[:4].tolist())
+SL = Q * NPTS      # per-level sample count (lp-major chunk length)
+
+
+def make_structured_inputs(seed=0):
+    """Inputs whose indices respect the lp-major level layout: chunk l of
+    the sample axis targets rows [start_l, start_l + N_l)."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    plane = jax.random.normal(ks[0], (BH, N, C), jnp.bfloat16)
+    parts = [jax.random.randint(ks[1 + l], (BH, SL), LSTARTS[l],
+                                LSTARTS[l] + LSIZES[l], jnp.int32)
+             for l in range(NLV)]
+    idx = jnp.concatenate(parts, axis=1)
+    w4 = jax.random.uniform(ks[6], (BH, S, 4), jnp.bfloat16)
+    g = jax.random.normal(ks[7], (BH, Q, HD), jnp.float32)
+    jax.block_until_ready((plane, idx, w4, g))
+    return plane, idx, w4, g
+
+
+def _make_upd(w, g_s):
+    gslot = jnp.tile(g_s.astype(jnp.bfloat16), (1, 4))
+    wfull3 = jnp.repeat(w.reshape(NLV * NPTS, Q, 4), HD, axis=-1)
+    return (wfull3 * gslot[None]).reshape(S, C)
+
+
+def main13():
+    """d_value scatter with LEVEL-STRUCTURED indices: fused vs per-level
+    split planes vs coarse-levels-as-one-hot-matmul hybrid."""
+    plane, idx, w4, g = make_structured_inputs()
+
+    @jax.jit
+    def fused(plane, idx, w4, g):
+        def body(_, xs):
+            p, i, w, g_s = xs
+            upd = jax.lax.optimization_barrier(_make_upd(w, g_s))
+            d = jnp.zeros(p.shape, jnp.float32).at[i].add(upd)
+            return None, d.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    @jax.jit
+    def split_levels(plane, idx, w4, g):
+        def body(_, xs):
+            p, i, w, g_s = xs
+            upd = jax.lax.optimization_barrier(_make_upd(w, g_s))
+            outs = []
+            for l in range(NLV):
+                il = i[l * SL:(l + 1) * SL] - LSTARTS[l]
+                ul = upd[l * SL:(l + 1) * SL]
+                outs.append(jnp.zeros((LSIZES[l], C), jnp.float32)
+                            .at[il].add(ul))
+            d = jnp.concatenate(outs, axis=0)
+            return None, d.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+        return out
+
+    def hybrid(n_matmul_levels):
+        # coarse levels become one-hot MXU matmuls; fine levels scatter
+        @jax.jit
+        def fn(plane, idx, w4, g):
+            def body(_, xs):
+                p, i, w, g_s = xs
+                upd = jax.lax.optimization_barrier(_make_upd(w, g_s))
+                outs = []
+                for l in range(NLV):
+                    il = i[l * SL:(l + 1) * SL] - LSTARTS[l]
+                    ul = upd[l * SL:(l + 1) * SL]
+                    if l >= NLV - n_matmul_levels:
+                        oh = (il[:, None] == jnp.arange(LSIZES[l],
+                                                        dtype=jnp.int32)
+                              ).astype(jnp.bfloat16)       # (SL, N_l)
+                        d = jax.lax.dot_general(
+                            oh, ul, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        d = jnp.zeros((LSIZES[l], C), jnp.float32) \
+                            .at[il].add(ul)
+                    outs.append(d)
+                d = jnp.concatenate(outs, axis=0)
+                return None, d.astype(jnp.bfloat16)
+            _, out = jax.lax.scan(body, None, (plane, idx, w4, g))
+            return out
+        return fn
+
+    rows = BH * S
+    for label, fn in (('fused scatter (current)', fused),
+                      ('per-level split planes', split_levels),
+                      ('split + matmul lvl 3', hybrid(1)),
+                      ('split + matmul lvl 2-3', hybrid(2)),
+                      ('split + matmul lvl 1-3', hybrid(3)),
+                      ('all-matmul lvl 0-3', hybrid(4))):
+        t = timeit(fn, plane, idx, w4, g, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+def main14():
+    """Forward gather with level-structured indices: fused vs per-level
+    split planes vs coarse-levels-as-one-hot-matmul."""
+    plane, idx, w4, _ = make_structured_inputs()
+    LP = NLV * NPTS
+
+    def weighted_fold(rows, w):
+        wfull = jnp.repeat(w, HD, axis=-1)
+        weighted = (rows * wfull).reshape(LP, Q, C)
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))
+        return jax.lax.dot_general(
+            weighted, fold, (((0, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    @jax.jit
+    def fused(plane, idx, w4):
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            return None, weighted_fold(rows, w)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def split_levels(plane, idx, w4):
+        def body(_, xs):
+            p, i, w = xs
+            parts = []
+            for l in range(NLV):
+                pl_ = p[LSTARTS[l]:LSTARTS[l] + LSIZES[l]]
+                il = i[l * SL:(l + 1) * SL] - LSTARTS[l]
+                parts.append(jax.lax.optimization_barrier(pl_[il]))
+            rows = jnp.concatenate(parts, axis=0)
+            return None, weighted_fold(rows, w)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    def hybrid(n_matmul_levels):
+        @jax.jit
+        def fn(plane, idx, w4):
+            def body(_, xs):
+                p, i, w = xs
+                parts = []
+                for l in range(NLV):
+                    pl_ = p[LSTARTS[l]:LSTARTS[l] + LSIZES[l]]
+                    il = i[l * SL:(l + 1) * SL] - LSTARTS[l]
+                    if l >= NLV - n_matmul_levels:
+                        oh = (il[:, None] == jnp.arange(
+                            LSIZES[l], dtype=jnp.int32)
+                        ).astype(jnp.bfloat16)              # (SL, N_l)
+                        rows = jax.lax.dot_general(
+                            oh, pl_, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.bfloat16)
+                    else:
+                        rows = jax.lax.optimization_barrier(pl_[il])
+                    parts.append(rows)
+                rows = jnp.concatenate(parts, axis=0)
+                return None, weighted_fold(rows, w)
+            _, out = jax.lax.scan(body, None, (plane, idx, w4))
+            return out
+        return fn
+
+    rows = BH * S
+    for label, fn in (('fused gather (current)', fused),
+                      ('per-level split planes', split_levels),
+                      ('split + matmul lvl 2-3', hybrid(2)),
+                      ('split + matmul lvl 1-3', hybrid(3))):
+        t = timeit(fn, plane, idx, w4, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v12' in sys.argv:
+    if '--v14' in sys.argv:
+        main14()
+    elif '--v13' in sys.argv:
+        main13()
+    elif '--v12' in sys.argv:
         main12()
     elif '--v11' in sys.argv:
         main11()

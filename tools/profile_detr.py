@@ -52,9 +52,10 @@ def main(b=4, hw=(800, 1344)):
     sbatch = shard_batch(dbatch, mesh)
     rng = jax.random.PRNGKey(0)
 
-    t = timeit(lambda: step(state, sbatch, rng), iters=3, warmup=2)
-    print(f'full train step       {t * 1e3:8.1f} ms  '
-          f'{b / t:6.2f} scenes/s', flush=True)
+    if '--skip-step' not in sys.argv:
+        t = timeit(lambda: step(state, sbatch, rng), iters=3, warmup=2)
+        print(f'full train step       {t * 1e3:8.1f} ms  '
+              f'{b / t:6.2f} scenes/s', flush=True)
 
     def loss_fn(params, batch, key, bwd_mask=None):
         params = cast_floating(params, 'bfloat16')

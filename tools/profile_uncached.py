@@ -101,6 +101,45 @@ def main(b=16, hw=(800, 1344)):
     t = timeit(lambda s_, b_: step(s_, b_, rng)[1]['loss'], state, batch)
     print(f'uncached step:     {t*1e3:8.1f} ms')
 
+    if '--cached-detail' in sys.argv:
+        # inside the cached step: pts backbone, full fwd, fwd+loss, grad
+        from demf_tpu.utils.precision import cast_batch, compute_dtype_scope
+        pb = build_from_cfg(dict(cfg.model['pts_backbone']), BACKBONES)
+        pb_vars = {'params': bf_params['pts_backbone']}
+        pts16 = batch['points']          # points stay f32 (policy)
+        pb_fwd = jax.jit(lambda v, p: pb.apply(v, p))
+        t = timeit(pb_fwd, pb_vars, pts16)
+        print(f'  pts backbone fwd:  {t*1e3:8.1f} ms')
+
+        def fwd_only(params, b_, key):
+            params = cast_floating(params, 'bfloat16')
+            nb = cast_batch(b_, 'bfloat16')
+            with compute_dtype_scope('bfloat16'):
+                return model.apply(
+                    {'params': params,
+                     'batch_stats': variables['batch_stats']}, nb,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'sample': key,
+                          'dropout': jax.random.fold_in(key, 1)})
+
+        jf = jax.jit(fwd_only)
+        t = timeit(jf, state.params, cb, rng)
+        print(f'  full fwd (cached): {t*1e3:8.1f} ms')
+
+        def loss_fn(params, b_, key):
+            results, _ = fwd_only(params, b_, key)
+            results = cast_floating(results, 'float32')
+            losses = model.loss(results, b_)
+            return sum(jnp.sum(x)
+                       for x in jax.tree_util.tree_leaves(losses))
+
+        jl = jax.jit(loss_fn)
+        t = timeit(jl, state.params, cb, rng)
+        print(f'  fwd + loss:        {t*1e3:8.1f} ms')
+        jg = jax.jit(jax.grad(loss_fn))
+        t = timeit(jg, state.params, cb, rng)
+        print(f'  fwd + loss + bwd:  {t*1e3:8.1f} ms')
+
 
 if __name__ == '__main__':
     kw = {}
