@@ -61,9 +61,9 @@ class FCAF3DHead(nn.Module):
     def _level_nbr(coords, valid, tensor_stride):
         """27-tap submanifold table for one level, built once per level
         and shared by the up-block conv and the out-block conv."""
-        return jax.vmap(lambda c, v: S.neighbor_table(
-            c, v, c, v, S.kernel_offsets(3), in_stride=tensor_stride))(
-            coords, valid)
+        return S.neighbor_table_batched(
+            coords, valid, coords, valid, S.kernel_offsets(3),
+            in_stride=tensor_stride)
 
     def _out_block(self, st, cin, tensor_stride, name, train, nbr=None):
         coords, valid, x = st
@@ -81,9 +81,9 @@ class FCAF3DHead(nn.Module):
         occupied set + conv3 block, per FCAF3D's ``_make_up_block``."""
         cc, cv, cf = coarse_st
         wt = _conv_param(self, f'{name}_tconv', 2, cin, cout)
-        y = jax.vmap(lambda fc, fv, c, v, f: S.transposed_conv_to(
-            fc, fv, c, v, f, wt, tensor_stride=fine_stride))(
-            fine_coords, fine_valid, cc, cv, cf)
+        y = S.transposed_conv_to_batched(fine_coords, fine_valid, cc, cv,
+                                         cf, wt,
+                                         tensor_stride=fine_stride)
         y = MaskedBatchNorm(name=f'{name}_tbn')(y, fine_valid, train)
         y = nn.elu(y)
         w = _conv_param(self, f'{name}_conv', 3, cout, cout)
@@ -115,10 +115,14 @@ class FCAF3DHead(nn.Module):
         outs = []
         x_st = None
         for i in range(n - 1, -1, -1):
-            coords, valid, feats = backbone_outs[i]
-            nbr = self._level_nbr(coords, valid, strides[i])
+            entry = backbone_outs[i]
+            coords, valid, feats = entry[:3]
+            # reuse the backbone stage's submanifold table when provided
+            # (MinkResNet returns it as a 4th element)
+            nbr = (entry[3] if len(entry) > 3 else
+                   self._level_nbr(coords, valid, strides[i]))
             if i == n - 1:
-                x_st = backbone_outs[i]
+                x_st = (coords, valid, feats)
             else:
                 up = self._up_block(x_st, coords, valid,
                                     self.in_channels[i + 1],

@@ -99,9 +99,9 @@ class SparseBasicBlock(nn.Module):
         if nbr is None:
             # build the output-level table once; conv2 (and, via the
             # return below, later blocks on this level) reuse it
-            nbr = jax.vmap(lambda c, v: S.neighbor_table(
-                c, v, c, v, S.kernel_offsets(3), in_stride=out_ts))(
-                coords_o, valid_o)
+            nbr = S.neighbor_table_batched(
+                coords_o, valid_o, coords_o, valid_o,
+                S.kernel_offsets(3), in_stride=out_ts)
         w2 = _conv_param(self, 'conv2', 3, self.channels, self.channels)
         y = S.submanifold_conv_batched(coords_o, valid_o, y, w2,
                                        tensor_stride=out_ts, nbr=nbr)
@@ -112,10 +112,14 @@ class SparseBasicBlock(nn.Module):
                 # Minkowski downsample branch = conv(k=1, s=2): each
                 # output voxel reads the input voxel AT its coordinate
                 wd = _conv_param(self, 'down', 1, cin, self.channels)
-                dn_nbr = jax.vmap(lambda c, v, oc, ov: S.neighbor_table(
-                    c, v, oc, ov, S.kernel_offsets(1), in_stride=ts))(
-                    coords, valid, coords_o, valid_o)
-                idn = S.sparse_conv_apply_batched(x, dn_nbr, wd)
+                dn_nbr = S.neighbor_table_batched(
+                    coords, valid, coords_o, valid_o,
+                    S.kernel_offsets(1), in_stride=ts)
+                idn = S.sparse_conv_apply_batched(
+                    x, dn_nbr, wd,
+                    rev=dict(kernel_size=1, in_stride=ts,
+                             out_coords=coords_o, out_valid=valid_o,
+                             in_coords=coords, in_valid=valid))
             else:
                 idn = nn.Dense(self.channels, use_bias=False,
                                name='down')(x)
@@ -176,5 +180,9 @@ class MinkResNet(nn.Module):
                     name=f'layer{si + 1}_{bi}')(st, train, nbr=nbr)
                 if bi == 0:
                     ts *= 2
-            outs.append(st)
+            # 4th element: the stage's 27-tap submanifold table, shared
+            # downstream (FCAF3DHead reuses it for its up/out blocks
+            # instead of rebuilding — tables are ~half the backbone
+            # cost, tools/bench_sparse_ops.py)
+            outs.append((*st, nbr))
         return outs

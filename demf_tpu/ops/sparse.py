@@ -27,6 +27,8 @@ conv-tap excursions of +/-16 — FCAF3D's finest SUN RGB-D grid is 640.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -176,6 +178,43 @@ def neighbor_table(in_coords, in_valid, out_coords, out_valid, offsets,
     return jax.lax.map(per_offset, offsets).T       # (M_out, K)
 
 
+def _lookup_bucketed_batched(packed, query_coords, query_valid):
+    """Batched ``_lookup_bucketed`` with the batch axis FLATTENED into
+    the bucket-line gather's row axis: a (B*Q,)-row gather from the
+    (B*NB, 2, W) table runs ~1.2x faster than B vmapped per-sample
+    gathers on v5e (tools/bench_sparse_ops.py --v5)."""
+    b, nb, _, w = packed.shape
+    qk = linearize(jnp.clip(query_coords, -_SHIFT, int(INVALID)))
+    pivots = packed[:, :, 0, 0]                           # (B, NB)
+    bucket = jnp.sum(qk[:, :, None] >= pivots[:, None, :], -1) - 1
+    bucket = jnp.clip(bucket, 0, nb - 1)
+    fb = bucket + (jnp.arange(b, dtype=jnp.int32) * nb)[:, None]
+    rows = packed.reshape(b * nb, 2, w)[fb.reshape(-1)]   # (B*Q, 2, W)
+    eq = rows[:, 0, :] == qk.reshape(-1)[:, None]
+    hit = eq.any(1) & query_valid.reshape(-1)
+    idx = jnp.argmax(eq, 1)
+    res = jnp.take_along_axis(rows[:, 1, :], idx[:, None], 1)[:, 0]
+    return jnp.where(hit, res, -1).reshape(qk.shape)
+
+
+def neighbor_table_batched(in_coords, in_valid, out_coords, out_valid,
+                           offsets, in_stride=1):
+    """Batched ``neighbor_table``: (B, M_out, K) from (B, M_in, 3).
+
+    One sorted table per sample (vmapped build), then one flat-batch
+    bucketed lookup per tap (unrolled python loop: XLA overlaps the
+    per-tap fusions; lookup throughput is bound by the bucket-line
+    gather count, see tools/bench_sparse_ops.py --v4/--v5)."""
+    sk, od = jax.vmap(build_key_table)(in_coords, in_valid)
+    packed = jax.vmap(_bucketed_table)(sk, od)
+    cols = [
+        _lookup_bucketed_batched(
+            packed, out_coords + (offsets[t] * in_stride)[None, None],
+            out_valid)
+        for t in range(offsets.shape[0])]
+    return jnp.stack(cols, -1)                            # (B, M_out, K)
+
+
 def sparse_conv_apply(feats, nbr, weights, bias=None):
     """Gather-matmul sparse convolution.
 
@@ -207,16 +246,11 @@ def sparse_conv_apply(feats, nbr, weights, bias=None):
     return out
 
 
-def sparse_conv_apply_batched(feats, nbr, weights, bias=None):
-    """Batched gather-matmul sparse conv: (B, M, C) x (B, Mo, K).
-
-    Same scan-over-taps formulation as ``sparse_conv_apply`` but with the
-    batch axis FLATTENED into the gather row axis: batched
-    take-along-axis gathers run ~65 M rows/s on v5e while single-axis
-    gathers run ~89 M rows/s (same rationale as ops/msda._flat_rows);
-    the autodiff transpose (scatter-add into dFeats) flattens the same
-    way.
-    """
+def _conv_scan_math(feats, nbr, weights):
+    """Scan-over-taps gather-matmul core: (B, M, C) x (B, Mo, K) ->
+    (B, Mo, Co).  Batch axis FLATTENED into the gather row axis (batched
+    take-along-axis gathers run ~65 M rows/s on v5e vs ~89 M for the
+    flat form; same rationale as ops/msda)."""
     b, m, c = feats.shape
     flat = feats.reshape(b * m, c)
     base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
@@ -230,6 +264,115 @@ def sparse_conv_apply_batched(feats, nbr, weights, bias=None):
 
     out0 = jnp.zeros((b, nbr.shape[1], weights.shape[2]), feats.dtype)
     out, _ = jax.lax.scan(tap, out0, (jnp.moveaxis(nbr, 2, 0), weights))
+    return out
+
+
+def _conv_dweights(feats, nbr, g):
+    """d_weights[t] = gather_t(feats)^T @ g, re-gathering per tap."""
+    b, m, c = feats.shape
+    flat = feats.reshape(b * m, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
+
+    def tap(_, nbr_k):
+        idx = (jnp.where(nbr_k >= 0, nbr_k, 0) + base).reshape(-1)
+        rows = flat[idx].reshape(b, nbr_k.shape[1], c)
+        rows = jnp.where((nbr_k >= 0)[..., None], rows, 0.0)
+        dw = jnp.einsum('bmc,bmo->co', rows.astype(jnp.float32),
+                        g.astype(jnp.float32))
+        return None, dw
+
+    _, dws = jax.lax.scan(tap, None, jnp.moveaxis(nbr, 2, 0))
+    return dws                                     # (K, C, Co) f32
+
+
+@jax.custom_vjp
+def _conv_sym(feats, nbr, weights):
+    """Submanifold conv (in set == out set, symmetric centered taps)
+    with a scatter-free VJP: offsets[K-1-t] == -offsets[t], so the
+    transpose table is the tap-FLIPPED forward table and d_feats is a
+    gather-conv with per-tap-transposed kernels.  XLA's autodiff of the
+    gather would emit per-tap scatter-adds, which run ~5x slower than
+    gathers on v5e (same asymmetry as ops/msda's backward)."""
+    return _conv_scan_math(feats, nbr, weights)
+
+
+def _conv_sym_fwd(feats, nbr, weights):
+    return _conv_scan_math(feats, nbr, weights), (feats, nbr, weights)
+
+
+def _conv_sym_bwd(res, g):
+    feats, nbr, weights = res
+    g = g.astype(feats.dtype)
+    d_feats = _conv_scan_math(
+        g, jnp.flip(nbr, -1), jnp.transpose(weights, (0, 2, 1)))
+    d_w = _conv_dweights(feats, nbr, g).astype(weights.dtype)
+    return d_feats.astype(feats.dtype), None, d_w
+
+
+_conv_sym.defvjp(_conv_sym_fwd, _conv_sym_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _conv_revgeo(kernel_size, in_stride, rev_sign, feats, nbr, weights,
+                 out_coords, out_valid, in_coords, in_valid):
+    """Gather-matmul conv whose VJP builds a REVERSE table (rev slot t
+    of input voxel i is the output row reading i at tap t, query =
+    i + rev_sign * offsets[t] * in_stride) in the backward pass and
+    computes d_feats as a gather-conv — the forward pays nothing extra,
+    and training avoids XLA's per-tap scatter-add transpose.
+    rev_sign = -1 for forward (strided) convs whose taps read
+    out + off, +1 for transposed convs whose fine rows read
+    coarse = fine - off."""
+    return _conv_scan_math(feats, nbr, weights)
+
+
+def _conv_revgeo_fwd(kernel_size, in_stride, rev_sign, feats, nbr,
+                     weights, out_coords, out_valid, in_coords,
+                     in_valid):
+    out = _conv_scan_math(feats, nbr, weights)
+    return out, (feats, nbr, weights, out_coords, out_valid, in_coords,
+                 in_valid)
+
+
+def _conv_revgeo_bwd(kernel_size, in_stride, rev_sign, res, g):
+    feats, nbr, weights, out_coords, out_valid, in_coords, in_valid = res
+    g = g.astype(feats.dtype)
+    offs = rev_sign * kernel_offsets(kernel_size)
+    rev_nbr = neighbor_table_batched(out_coords, out_valid, in_coords,
+                                     in_valid, offs,
+                                     in_stride=in_stride)
+    d_feats = _conv_scan_math(
+        g, rev_nbr, jnp.transpose(weights, (0, 2, 1)))
+    d_w = _conv_dweights(feats, nbr, g).astype(weights.dtype)
+    return (d_feats.astype(feats.dtype), None, d_w, None, None, None,
+            None)
+
+
+_conv_revgeo.defvjp(_conv_revgeo_fwd, _conv_revgeo_bwd)
+
+
+def sparse_conv_apply_batched(feats, nbr, weights, bias=None, rev=None):
+    """Batched gather-matmul sparse conv: (B, M, C) x (B, Mo, K).
+
+    rev: backward-transpose strategy —
+      * None: XLA autodiff (per-tap scatter-adds into d_feats);
+      * 'flip': submanifold case (out set == in set, odd centered
+        kernel) — the reverse table is the tap-flipped ``nbr``;
+      * dict(kernel_size=, in_stride=, out_coords=, out_valid=,
+        in_coords=, in_valid=[, rev_sign=-1]): the backward builds a
+        reverse table (zero forward cost); rev_sign=+1 for transposed
+        convs.
+    """
+    if rev is None:
+        out = _conv_scan_math(feats, nbr, weights)
+    elif isinstance(rev, str) and rev == 'flip':
+        out = _conv_sym(feats, nbr, weights)
+    else:
+        out = _conv_revgeo(int(rev['kernel_size']),
+                           int(rev['in_stride']),
+                           int(rev.get('rev_sign', -1)), feats, nbr,
+                           weights, rev['out_coords'], rev['out_valid'],
+                           rev['in_coords'], rev['in_valid'])
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -241,9 +384,10 @@ def submanifold_conv_batched(coords, valid, feats, weights, bias=None,
     math), features through the flattened batched gather path."""
     if nbr is None:
         offs = kernel_offsets(kernel_size)
-        nbr = jax.vmap(lambda c, v: neighbor_table(
-            c, v, c, v, offs, in_stride=tensor_stride))(coords, valid)
-    out = sparse_conv_apply_batched(feats, nbr, weights, bias)
+        nbr = neighbor_table_batched(coords, valid, coords, valid, offs,
+                                     in_stride=tensor_stride)
+    rev = 'flip' if kernel_size % 2 == 1 else None
+    out = sparse_conv_apply_batched(feats, nbr, weights, bias, rev=rev)
     return jnp.where(valid[..., None], out, 0.0)
 
 
@@ -319,13 +463,14 @@ def strided_conv_batched(coords, valid, feats, weights, bias=None,
     max_out = max_out or coords.shape[1]
     offs = kernel_offsets(kernel_size)
 
-    def geo(c, v):
-        oc, ov = downsample_coords(c, v, stride * tensor_stride, max_out)
-        nbr = neighbor_table(c, v, oc, ov, offs, in_stride=tensor_stride)
-        return oc, ov, nbr
-
-    oc, ov, nbr = jax.vmap(geo)(coords, valid)
-    out = sparse_conv_apply_batched(feats, nbr, weights, bias)
+    oc, ov = jax.vmap(lambda c, v: downsample_coords(
+        c, v, stride * tensor_stride, max_out))(coords, valid)
+    nbr = neighbor_table_batched(coords, valid, oc, ov, offs,
+                                 in_stride=tensor_stride)
+    rev = dict(kernel_size=kernel_size, in_stride=tensor_stride,
+               out_coords=oc, out_valid=ov, in_coords=coords,
+               in_valid=valid)
+    out = sparse_conv_apply_batched(feats, nbr, weights, bias, rev=rev)
     return oc, ov, jnp.where(ov[..., None], out, 0.0)
 
 
@@ -335,12 +480,10 @@ def sparse_max_pool_batched(coords, valid, feats, stride=2, kernel_size=2,
     max_out = max_out or coords.shape[1]
     offs = kernel_offsets(kernel_size)
 
-    def geo(c, v):
-        oc, ov = downsample_coords(c, v, stride * tensor_stride, max_out)
-        nbr = neighbor_table(c, v, oc, ov, offs, in_stride=tensor_stride)
-        return oc, ov, nbr
-
-    oc, ov, nbr = jax.vmap(geo)(coords, valid)
+    oc, ov = jax.vmap(lambda c, v: downsample_coords(
+        c, v, stride * tensor_stride, max_out))(coords, valid)
+    nbr = neighbor_table_batched(coords, valid, oc, ov, offs,
+                                 in_stride=tensor_stride)
     b, m, c = feats.shape
     flat = feats.reshape(b * m, c)
     base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
@@ -386,6 +529,41 @@ def transposed_conv_to(coords_fine, valid_fine, coords_coarse,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return jnp.where(valid_fine[:, None], out, 0.0)
+
+
+def transposed_conv_to_batched(coords_fine, valid_fine, coords_coarse,
+                               valid_coarse, feats_coarse, weights,
+                               bias=None, stride=2, kernel_size=2,
+                               tensor_stride=1):
+    """Batched ``transposed_conv_to`` with a scatter-free VJP.
+
+    Key identity: the transposed conv's per-fine-row read IS a
+    gather-conv whose tap-t neighbor is the coarse voxel at
+    ``fine - off_t * ts`` — for k=2/s=2 exactly one tap matches (the
+    fine voxel's parent), so ONE parent lookup + tap decomposition
+    builds the whole (B, Mf, K) table; d_feats_coarse then routes
+    through the +offsets (children) reverse table instead of XLA's
+    scatter-add.
+    """
+    cs = stride * tensor_stride
+    parent = coords_fine // cs * cs
+    sk, od = jax.vmap(build_key_table)(coords_coarse, valid_coarse)
+    packed = jax.vmap(_bucketed_table)(sk, od)
+    prow = _lookup_bucketed_batched(packed, parent, valid_fine)
+    off = (coords_fine - parent) // tensor_stride         # (B, Mf, 3)
+    k = kernel_size
+    tap = (off[..., 0] * k + off[..., 1]) * k + off[..., 2]
+    tnbr = jnp.where(
+        (tap[..., None] == jnp.arange(k ** 3, dtype=jnp.int32)[None,
+                                                               None]) &
+        (prow[..., None] >= 0),
+        prow[..., None], -1)                              # (B, Mf, K)
+    rev = dict(kernel_size=kernel_size, in_stride=tensor_stride,
+               rev_sign=+1, out_coords=coords_fine, out_valid=valid_fine,
+               in_coords=coords_coarse, in_valid=valid_coarse)
+    out = sparse_conv_apply_batched(feats_coarse, tnbr, weights, bias,
+                                    rev=rev)
+    return jnp.where(valid_fine[..., None], out, 0.0)
 
 
 def global_max_pool(feats, valid):

@@ -34,7 +34,7 @@ def test_stage_pyramid_and_masking():
     assert len(outs) == 4
     want_c = (64, 128, 256, 512)
     stride = 8
-    for (oc, ov, of), c in zip(outs, want_c):
+    for (oc, ov, of, _nbr), c in zip(outs, want_c):
         ov_np, oc_np, of_np = (np.asarray(ov), np.asarray(oc),
                                np.asarray(of))
         assert of.shape[-1] == c
@@ -46,7 +46,7 @@ def test_stage_pyramid_and_masking():
         assert np.isfinite(of_np).all()
         stride *= 2
     # each level's coordinate set is the downsample of the previous
-    (c1, v1, _), (c2, v2, _) = outs[0], outs[1]
+    (c1, v1), (c2, v2) = outs[0][:2], outs[1][:2]
     s1 = {tuple(c) for c in np.asarray(c1)[np.asarray(v1)] // 16 * 16}
     s2 = {tuple(c) for c in np.asarray(c2)[np.asarray(v2)]}
     assert s2 == s1
@@ -63,7 +63,7 @@ def test_train_mode_updates_stats_and_grads_flow():
         outs, upd = model.apply(
             {'params': params, 'batch_stats': variables['batch_stats']},
             coords, valid, feats, train=True, mutable=['batch_stats'])
-        return sum(jnp.sum(f ** 2) for _, _, f in outs), upd
+        return sum(jnp.sum(o[2] ** 2) for o in outs), upd
 
     (val, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables['params'])

@@ -202,3 +202,114 @@ def test_voxelize_drops_out_of_range_points():
     ref = {tuple(c) for c in np.floor((pts_in + 1) / 0.25).astype(np.int32)}
     got = {tuple(c) for c in coords[valid]}
     assert got == ref
+
+
+def test_conv_custom_vjp_matches_autodiff():
+    """Scatter-free conv VJPs ('flip' for submanifold, revgeo for
+    strided) must agree with XLA's autodiff transpose to fp32 tolerance."""
+    rng = np.random.RandomState(7)
+
+    def batchify(*samples):
+        return tuple(jnp.asarray(np.stack(a)) for a in zip(*samples))
+
+    coords, feats, valid = batchify(*[
+        _random_voxels(rng, 40 + 3 * i, cap=64)[:3] for i in range(2)])
+    w3 = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32) * 0.2)
+    offs = S.kernel_offsets(3)
+    nbr = S.neighbor_table_batched(coords, valid, coords, valid, offs)
+    cot = jnp.asarray(rng.randn(2, 64, 6).astype(np.float32))
+
+    def loss(fn):
+        def inner(f, w):
+            out = fn(f, w)
+            return jnp.sum(out * cot)
+        return jax.jit(jax.grad(inner, argnums=(0, 1)))
+
+    g_ref = loss(lambda f, w: S.sparse_conv_apply_batched(
+        f, nbr, w, rev=None))(feats, w3)
+    g_flip = loss(lambda f, w: S.sparse_conv_apply_batched(
+        f, nbr, w, rev='flip'))(feats, w3)
+    for a, b in zip(g_ref, g_flip):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # strided (k=2, s=2) revgeo path
+    offs2 = S.kernel_offsets(2)
+    oc, ov = jax.vmap(lambda c, v: S.downsample_coords(c, v, 2, 32))(
+        coords, valid)
+    nbr2 = S.neighbor_table_batched(coords, valid, oc, ov, offs2)
+    w2 = jnp.asarray(rng.randn(8, 4, 6).astype(np.float32) * 0.2)
+    cot2 = jnp.asarray(rng.randn(2, 32, 6).astype(np.float32))
+    rev = dict(kernel_size=2, in_stride=1, out_coords=oc, out_valid=ov,
+               in_coords=coords, in_valid=valid)
+
+    def loss2(use_rev):
+        def inner(f, w):
+            out = S.sparse_conv_apply_batched(
+                f, nbr2, w, rev=rev if use_rev else None)
+            return jnp.sum(out * cot2)
+        return jax.jit(jax.grad(inner, argnums=(0, 1)))
+
+    g_ref2 = loss2(False)(feats, w2)
+    g_rev2 = loss2(True)(feats, w2)
+    for a, b in zip(g_ref2, g_rev2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # k=1 downsample branch (MinkResNet 'down')
+    offs1 = S.kernel_offsets(1)
+    nbr1 = S.neighbor_table_batched(coords, valid, oc, ov, offs1)
+    w1 = jnp.asarray(rng.randn(1, 4, 6).astype(np.float32) * 0.2)
+    rev1 = dict(kernel_size=1, in_stride=1, out_coords=oc, out_valid=ov,
+                in_coords=coords, in_valid=valid)
+
+    def loss1(use_rev):
+        def inner(f, w):
+            out = S.sparse_conv_apply_batched(
+                f, nbr1, w, rev=rev1 if use_rev else None)
+            return jnp.sum(out * cot2)
+        return jax.jit(jax.grad(inner, argnums=(0, 1)))
+
+    for a, b in zip(loss1(False)(feats, w1), loss1(True)(feats, w1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_transposed_conv_batched_matches_per_sample():
+    """transposed_conv_to_batched == vmapped transposed_conv_to (fwd)
+    and its scatter-free VJP == autodiff of the per-sample form."""
+    rng = np.random.RandomState(9)
+
+    def batchify(*samples):
+        return tuple(jnp.asarray(np.stack(a)) for a in zip(*samples))
+
+    coords, feats, valid = batchify(*[
+        _random_voxels(rng, 40 + 5 * i, cap=64)[:3] for i in range(2)])
+    oc, ov = jax.vmap(lambda c, v: S.downsample_coords(c, v, 2, 32))(
+        coords, valid)
+    cfeat = jnp.asarray(rng.randn(2, 32, 4).astype(np.float32))
+    cfeat = jnp.where(ov[..., None], cfeat, 0.0)
+    w = jnp.asarray(rng.randn(8, 4, 6).astype(np.float32) * 0.3)
+    cot = jnp.asarray(rng.randn(2, 64, 6).astype(np.float32))
+
+    ref = jax.vmap(lambda fc, fv, c, v, f: S.transposed_conv_to(
+        fc, fv, c, v, f, w))(coords, valid, oc, ov, cfeat)
+    ref = jnp.where(valid[..., None], ref, 0.0)
+    got = S.transposed_conv_to_batched(coords, valid, oc, ov, cfeat, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def gref(f, ww):
+        out = jax.vmap(lambda fc, fv, c, v, fcf: S.transposed_conv_to(
+            fc, fv, c, v, fcf, ww))(coords, valid, oc, ov, f)
+        out = jnp.where(valid[..., None], out, 0.0)
+        return jnp.sum(out * cot)
+
+    def gnew(f, ww):
+        out = S.transposed_conv_to_batched(coords, valid, oc, ov, f, ww)
+        return jnp.sum(out * cot)
+
+    for a, b in zip(jax.grad(gref, argnums=(0, 1))(cfeat, w),
+                    jax.grad(gnew, argnums=(0, 1))(cfeat, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -89,6 +89,61 @@ def main(batch_size=8, do_trace=False, max_voxels=16384, num_points=20000):
     time_fn(lambda: infer(variables, batch), iters=3, warmup=1,
             name='forward + decode + NMS')
 
+    if '--detail' in sys.argv:
+        from demf_tpu.utils.precision import cast_floating, \
+            compute_dtype_scope
+        from demf_tpu.utils.registry import BACKBONES
+        cd = compute_dtype or 'float32'
+        bf_params = cast_floating(variables['params'], cd)
+
+        # backbone-only (incl. voxelize) in the policy dtype
+        bb = build_from_cfg(dict(cfg.model['backbone']), BACKBONES)
+        bb_vars = {'params': bf_params['backbone'],
+                   'batch_stats': variables['batch_stats']['backbone']}
+
+        def bb_fwd(v, pts):
+            coords, feats, valid = jax.vmap(lambda p: S.voxelize(
+                p[:, :3], p[:, 3:6], model.voxel_size,
+                jnp.asarray(model.pc_start), model.max_voxels))(pts)
+            with compute_dtype_scope(cd):
+                return bb.apply(v, coords, valid,
+                                feats.astype(jnp.dtype(cd)), train=False)
+        jbb = jax.jit(bb_fwd)
+        time_fn(lambda: jbb(bb_vars, batch['points']), iters=3,
+                warmup=1, name=f'voxelize + backbone ({cd})')
+        bouts = jbb(bb_vars, batch['points'])
+
+        # head-only on frozen backbone outs
+        def head_fwd(params, bo):
+            from demf_tpu.utils.registry import HEADS as _H
+            hcfg = dict(cfg.model['head'])
+            hcfg.setdefault('test_cfg', model.test_cfg)
+            hcfg.setdefault('pc_start', model.pc_start)
+            hm = build_from_cfg(hcfg, _H)
+            with compute_dtype_scope(cd):
+                return hm.apply({'params': params,
+                                 'batch_stats':
+                                     variables['batch_stats']['head']},
+                                bo, train=False)
+        jh = jax.jit(lambda p, bo: head_fwd(p, bo))
+        time_fn(lambda: jh(bf_params['head'], bouts), iters=3,
+                warmup=1, name=f'head fwd ({cd})')
+        houts = jh(bf_params['head'], bouts)
+
+        # loss math only (targets + focal + IoU) on frozen head outs
+        def loss_only_fn(ho, b):
+            hcfg = dict(cfg.model['head'])
+            hcfg.setdefault('test_cfg', model.test_cfg)
+            hcfg.setdefault('pc_start', model.pc_start)
+            from demf_tpu.utils.registry import HEADS as _H
+            hm = build_from_cfg(hcfg, _H, {'parent': None})
+            losses = hm.loss(ho, b['gt_bboxes_3d'], b['gt_labels_3d'],
+                             b['gt_valid'])
+            return sum(jnp.asarray(x) for x in losses.values())
+        jl = jax.jit(loss_only_fn)
+        time_fn(lambda: jl(houts, batch), iters=3, warmup=1,
+                name='targets + loss math')
+
     if do_trace:
         with trace('/tmp/fcaf3d_trace') as d:
             for i in range(3):
