@@ -64,19 +64,38 @@ def _build_quad_plane(value, spatial_shapes, gather_dtype):
     """Pack all levels into one (B, heads, sum_HW, 4*hd) quad plane.
 
     quad[b, h, start_l + y*w + x] = concat(v[y, x], v[y, x+1], v[y+1, x],
-    v[y+1, x+1]) with zero padding outside the grid, so a single row
-    gather fetches the full 2x2 bilinear neighbourhood.
+    v[y+1, x+1]), so a single row gather fetches the full 2x2 bilinear
+    neighbourhood.
+
+    Built as FLAT ROW SHIFTS of the (B, heads, H*W, hd) level slice
+    (x+1 = shift 1, y+1 = shift w): contiguous copies with no 5-D
+    spatial slicing (which cost ~26 ms/layer at b16 in relayouts).
+    Rows whose shift crosses the row boundary (x = w-1) pick up the
+    next image row instead of zero — harmless because the sampling
+    geometry clamps bx <= w-2 / by <= h-2, so those quad rows are never
+    gathered (the tail block y = h-1 reads the zero pad).  Levels
+    narrower than 2 pixels fall back to the padded spatial build whose
+    out-of-grid slots are exact zeros.
     """
     b, _, heads, hd = value.shape
     planes = []
     start = 0
     for (h, w) in spatial_shapes:
         v = value[:, start:start + h * w].astype(gather_dtype)
-        v = jnp.transpose(v, (0, 2, 1, 3)).reshape(b, heads, h, w, hd)
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
-        quad = jnp.concatenate(
-            [vp[:, :, dy:dy + h, dx:dx + w] for dy, dx in _SLOTS], axis=-1)
-        planes.append(quad.reshape(b, heads, h * w, 4 * hd))
+        v = jnp.transpose(v, (0, 2, 1, 3))            # (B, heads, HW, hd)
+        if h < 2 or w < 2:
+            vs = v.reshape(b, heads, h, w, hd)
+            vp = jnp.pad(vs, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+            quad = jnp.concatenate(
+                [vp[:, :, dy:dy + h, dx:dx + w] for dy, dx in _SLOTS],
+                axis=-1).reshape(b, heads, h * w, 4 * hd)
+        else:
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, w + 1), (0, 0)))
+            n = h * w
+            quad = jnp.concatenate(
+                [vp[:, :, 0:n], vp[:, :, 1:n + 1],
+                 vp[:, :, w:n + w], vp[:, :, w + 1:n + w + 1]], axis=-1)
+        planes.append(quad)
         start += h * w
     return jnp.concatenate(planes, axis=2)
 

@@ -105,9 +105,11 @@ def main(b=16, hw=(800, 1344)):
         # inside the cached step: pts backbone, full fwd, fwd+loss, grad
         from demf_tpu.utils.precision import cast_batch, compute_dtype_scope
         pb = build_from_cfg(dict(cfg.model['pts_backbone']), BACKBONES)
-        pb_vars = {'params': bf_params['pts_backbone']}
+        pb_vars = {'params': bf_params['pts_backbone'],
+                   'batch_stats':
+                       variables['batch_stats']['pts_backbone']}
         pts16 = batch['points']          # points stay f32 (policy)
-        pb_fwd = jax.jit(lambda v, p: pb.apply(v, p))
+        pb_fwd = jax.jit(lambda v, p: pb.apply(v, p, train=False))
         t = timeit(pb_fwd, pb_vars, pts16)
         print(f'  pts backbone fwd:  {t*1e3:8.1f} ms')
 
