@@ -290,8 +290,9 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         extras['e2e_device'] = round(
             min(prate, extras['loader_raw']), 3)
 
-    if full:
+    if not small:
         # stage-1 DETR pretrain: trainable 6-layer deformable encoder
+        # (default extra per VERDICT r2 item 6)
         from demf_tpu.zoo import synth_detr2d_batch
         pb = 4
         dbatch = synth_detr2d_batch(b=pb, hw=hw)

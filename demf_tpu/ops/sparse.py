@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _SPAN = 1290                       # per-axis key span; _SPAN**3 < 2**31
 _SHIFT = 16                        # headroom for negative tap queries
@@ -178,6 +179,105 @@ def neighbor_table(in_coords, in_valid, out_coords, out_valid, offsets,
     return jax.lax.map(per_offset, offsets).T       # (M_out, K)
 
 
+def _bucketed_table_ov(skeys, order):
+    """Overlap-packed table for the z-run lookup: (NB, 2, W+2) lines
+    plus (NB,) pivots.
+
+    Line i holds sorted positions [i*W - 1, i*W + W] inclusive (one
+    position of overlap on each side, sentinel-padded at the global
+    ends), so the three ADJACENT sorted positions occupied by a key and
+    its +-tensor_stride z-neighbours always fit in the line chosen by a
+    pivot compare on the center key (proof in ``_lookup_zrun_batched``).
+    """
+    m = skeys.shape[0]
+    nb = -(-m // _BUCKET_W)
+    maxk = jnp.iinfo(jnp.int32).max
+    pad = nb * _BUCKET_W - m
+    sk = jnp.concatenate([jnp.full((1,), maxk, jnp.int32), skeys,
+                          jnp.full((pad + 1,), maxk, jnp.int32)])
+    od = jnp.concatenate([jnp.zeros((1,), jnp.int32), order,
+                          jnp.zeros((pad + 1,), jnp.int32)])
+    pos = (jnp.arange(nb, dtype=jnp.int32)[:, None] * _BUCKET_W +
+           jnp.arange(_BUCKET_W + 2, dtype=jnp.int32)[None])
+    return jnp.stack([sk[pos], od[pos]], 1), skeys[::_BUCKET_W]
+
+
+def _lookup_zrun_batched(lines, pivots, center_coords, query_valid,
+                         dzs, ts):
+    """Resolve the taps ``center + (0, 0, dz*ts)`` for every dz in
+    ``dzs`` (subset of {-1, 0, 1}) with ONE overlap-line gather per
+    center query — a 3x cut in bucket-line gathers for k=3 kernels
+    (2x for k=2), which are the count-bound cost of table builds.
+
+    Why one line suffices: ``linearize`` keeps coordinate axis 2 (z) as
+    the fastest key axis, every valid key in a pyramid level has z = 0
+    (mod ts) (coords are multiples of the tensor stride, see
+    ``downsample_coords``), and the dz = +-1 taps are masked off when
+    z +- ts leaves [0, MAX_COORD] — so no table key lies strictly
+    between the center key k and k +- ts, and the (at most three)
+    candidate keys occupy adjacent sorted positions p-1, p, p+1 around
+    k's insertion point p.  The pivot compare puts p inside bucket b's
+    position range [b*W, (b+1)*W], and line b covers exactly
+    [b*W - 1, (b+1)*W] (``_bucketed_table_ov``).
+    """
+    b, q = query_valid.shape
+    nb = pivots.shape[1]
+    qk = linearize(jnp.clip(center_coords, -_SHIFT, int(INVALID)))
+    bucket = jnp.sum(qk[:, :, None] >= pivots[:, None, :], -1) - 1
+    bucket = jnp.clip(bucket, 0, nb - 1)
+    fb = bucket + (jnp.arange(b, dtype=jnp.int32) * nb)[:, None]
+    rows = lines.reshape(b * nb, 2, lines.shape[-1])[fb.reshape(-1)]
+    keys, vals = rows[:, 0, :], rows[:, 1, :]
+    zc = center_coords[..., 2].reshape(-1)
+    vq = query_valid.reshape(-1)
+    qkf = qk.reshape(-1)
+    out = []
+    for dz in dzs:
+        if dz == 0:
+            ok = vq
+        elif dz < 0:
+            # z - ts < 0 cannot be a real coord; also guard clamped z
+            ok = vq & (zc - ts >= 0) & (zc <= MAX_COORD)
+        else:
+            ok = vq & (zc + ts <= MAX_COORD)
+        eq = keys == (qkf + dz * ts)[:, None]
+        hit = eq.any(1) & ok
+        idx = jnp.argmax(eq, 1)
+        res = jnp.take_along_axis(vals, idx[:, None], 1)[:, 0]
+        out.append(jnp.where(hit, res, -1).reshape(b, q))
+    return out
+
+
+def _z_runs(offsets):
+    """Group taps into consecutive z-runs for the fused lookup.
+
+    Returns a list of (tap_indices, o0, o1, dz_list) where each run
+    shares (offset[0], offset[1]) and has distinct offset[2] values in
+    {-1, 0, 1} — the layout ``kernel_offsets`` emits for k in {2, 3}
+    (axis 2 fastest), in either sign (reverse tables negate offsets).
+    None when the offsets don't factor this way or nothing is saved.
+    """
+    try:
+        offs = np.asarray(jax.device_get(offsets)).astype(np.int64)
+    except Exception:
+        return None
+    k = offs.shape[0]
+    runs = []
+    i = 0
+    while i < k:
+        j = i
+        while (j + 1 < k and offs[j + 1, 0] == offs[i, 0]
+               and offs[j + 1, 1] == offs[i, 1]):
+            j += 1
+        o2s = offs[i:j + 1, 2].tolist()
+        if any(abs(z) > 1 for z in o2s) or len(set(o2s)) != len(o2s):
+            return None
+        runs.append((list(range(i, j + 1)), int(offs[i, 0]),
+                     int(offs[i, 1]), o2s))
+        i = j + 1
+    return runs if len(runs) < k else None
+
+
 def _lookup_bucketed_batched(packed, query_coords, query_valid):
     """Batched ``_lookup_bucketed`` with the batch axis FLATTENED into
     the bucket-line gather's row axis: a (B*Q,)-row gather from the
@@ -204,8 +304,26 @@ def neighbor_table_batched(in_coords, in_valid, out_coords, out_valid,
     One sorted table per sample (vmapped build), then one flat-batch
     bucketed lookup per tap (unrolled python loop: XLA overlaps the
     per-tap fusions; lookup throughput is bound by the bucket-line
-    gather count, see tools/bench_sparse_ops.py --v4/--v5)."""
+    gather count, see tools/bench_sparse_ops.py --v4/--v5).
+
+    k=2/k=3 cubic kernels take the fused z-run path: one overlap-line
+    gather per (o0, o1) tap group resolves all its z taps
+    (``_lookup_zrun_batched``), a 3x (k=3) / 2x (k=2) cut in the
+    count-bound bucket-line gathers."""
     sk, od = jax.vmap(build_key_table)(in_coords, in_valid)
+    runs = _z_runs(offsets)
+    if runs is not None:
+        lines, pivots = jax.vmap(_bucketed_table_ov)(sk, od)
+        cols = [None] * offsets.shape[0]
+        for taps, o0, o1, dzs in runs:
+            center = out_coords + jnp.asarray(
+                [o0 * in_stride, o1 * in_stride, 0],
+                jnp.int32)[None, None]
+            res = _lookup_zrun_batched(lines, pivots, center, out_valid,
+                                       dzs, in_stride)
+            for t, r in zip(taps, res):
+                cols[t] = r
+        return jnp.stack(cols, -1)                        # (B, M_out, K)
     packed = jax.vmap(_bucketed_table)(sk, od)
     cols = [
         _lookup_bucketed_batched(

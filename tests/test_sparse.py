@@ -313,3 +313,45 @@ def test_transposed_conv_batched_matches_per_sample():
                     jax.grad(gnew, argnums=(0, 1))(cfeat, w)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_zrun_lookup_matches_per_tap():
+    """The fused z-run table (one overlap-line gather per (o0, o1) tap
+    group, _lookup_zrun_batched) must agree with the per-tap bucketed
+    lookup for every kernel/stride/sign combination it routes."""
+    rng = np.random.default_rng(0)
+    for kernel, ts, neg in [(3, 1, False), (3, 2, False), (2, 1, False),
+                            (2, 4, False), (3, 2, True), (2, 2, True)]:
+        b, m = 2, 200
+        c = rng.integers(0, 24, size=(b, m, 3)) * ts
+        valid = rng.random((b, m)) < 0.8
+        c = np.where(valid[..., None], c, int(S.INVALID))
+        coords = jnp.asarray(c, jnp.int32)
+        v = jnp.asarray(valid)
+        offs = S.kernel_offsets(kernel)
+        if neg:
+            offs = -offs
+        assert S._z_runs(offs) is not None
+        oc, ov = jax.vmap(lambda cc, vv: S.downsample_coords(
+            cc, vv, 2 * ts, m))(coords, v)
+        for (o_c, o_v) in [(coords, v), (oc, ov)]:
+            fast = S.neighbor_table_batched(coords, v, o_c, o_v, offs,
+                                            in_stride=ts)
+            sk, od = jax.vmap(S.build_key_table)(coords, v)
+            packed = jax.vmap(S._bucketed_table)(sk, od)
+            ref = jnp.stack([
+                S._lookup_bucketed_batched(
+                    packed, o_c + (offs[t] * ts)[None, None], o_v)
+                for t in range(offs.shape[0])], -1)
+            assert bool(jnp.all(fast == ref))
+    # grid-boundary coords (z +- ts leaves [0, MAX_COORD])
+    c = jnp.asarray([[[S.MAX_COORD] * 3, [0, 0, 0], [0, 0, 1],
+                      [5, 5, 5]]], jnp.int32)
+    v = jnp.ones((1, 4), bool)
+    offs = S.kernel_offsets(3)
+    fast = S.neighbor_table_batched(c, v, c, v, offs, in_stride=1)
+    sk, od = jax.vmap(S.build_key_table)(c, v)
+    packed = jax.vmap(S._bucketed_table)(sk, od)
+    ref = jnp.stack([S._lookup_bucketed_batched(
+        packed, c + offs[t][None, None], v) for t in range(27)], -1)
+    assert bool(jnp.all(fast == ref))
