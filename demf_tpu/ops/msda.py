@@ -60,6 +60,26 @@ import jax.numpy as jnp
 _SLOTS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
+@functools.lru_cache(maxsize=8)
+def _quad_selector_np(heads, hd):
+    """(4, heads*hd, heads*4*hd) 0/1 selector: E[s, h*hd+j,
+    h*4*hd + s*hd + j] = 1 — contracting shifted flat value views with
+    E places head h's channels into slot block s of the quad row.
+    Cached as numpy (device conversion happens per trace — caching the
+    jnp array would leak a tracer-backed constant across traces)."""
+    import numpy as np
+    e = np.zeros((4, heads * hd, heads * 4 * hd), np.float32)
+    for s in range(4):
+        for h in range(heads):
+            for j in range(hd):
+                e[s, h * hd + j, h * 4 * hd + s * hd + j] = 1.0
+    return e
+
+
+def _quad_selector(heads, hd, dtype_name):
+    return jnp.asarray(_quad_selector_np(heads, hd), jnp.dtype(dtype_name))
+
+
 def _build_quad_plane(value, spatial_shapes, gather_dtype):
     """Pack all levels into one (B, heads, sum_HW, 4*hd) quad plane.
 
@@ -67,9 +87,14 @@ def _build_quad_plane(value, spatial_shapes, gather_dtype):
     v[y+1, x+1]), so a single row gather fetches the full 2x2 bilinear
     neighbourhood.
 
-    Built as FLAT ROW SHIFTS of the (B, heads, H*W, hd) level slice
-    (x+1 = shift 1, y+1 = shift w): contiguous copies with no 5-D
-    spatial slicing (which cost ~26 ms/layer at b16 in relayouts).
+    Built as FLAT ROW SHIFTS of the raw (B, H*W, heads*hd) level slice
+    (x+1 = shift 1, y+1 = shift w) contracted with a 0/1 selector on the
+    MXU (``_quad_selector``): the matmul performs the head-transpose AND
+    the 4-slot channel placement in one pass, replacing the per-level
+    (B,HW,heads,hd)->(B,heads,HW,hd) transpose + 32-wide minor-dim
+    concat whose partial-tile writes made the copy form ~26 ms/layer at
+    b16 (MXU form: 20 ms; exact — each output channel sums exactly one
+    0/1-selected input, tools/bench_msda_layer.py --v16/--v17).
     Rows whose shift crosses the row boundary (x = w-1) pick up the
     next image row instead of zero — harmless because the sampling
     geometry clamps bx <= w-2 / by <= h-2, so those quad rows are never
@@ -78,25 +103,34 @@ def _build_quad_plane(value, spatial_shapes, gather_dtype):
     out-of-grid slots are exact zeros.
     """
     b, _, heads, hd = value.shape
+    sel = _quad_selector(heads, hd, jnp.dtype(gather_dtype).name)
     planes = []
     start = 0
     for (h, w) in spatial_shapes:
-        v = value[:, start:start + h * w].astype(gather_dtype)
-        v = jnp.transpose(v, (0, 2, 1, 3))            # (B, heads, HW, hd)
+        n = h * w
         if h < 2 or w < 2:
+            v = value[:, start:start + n].astype(gather_dtype)
+            v = jnp.transpose(v, (0, 2, 1, 3))        # (B, heads, HW, hd)
             vs = v.reshape(b, heads, h, w, hd)
             vp = jnp.pad(vs, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
             quad = jnp.concatenate(
                 [vp[:, :, dy:dy + h, dx:dx + w] for dy, dx in _SLOTS],
                 axis=-1).reshape(b, heads, h * w, 4 * hd)
         else:
-            vp = jnp.pad(v, ((0, 0), (0, 0), (0, w + 1), (0, 0)))
-            n = h * w
-            quad = jnp.concatenate(
-                [vp[:, :, 0:n], vp[:, :, 1:n + 1],
-                 vp[:, :, w:n + w], vp[:, :, w + 1:n + w + 1]], axis=-1)
+            vl = value.reshape(value.shape[0], -1, heads * hd)[
+                :, start:start + n].astype(gather_dtype)
+            vp = jnp.pad(vl, ((0, 0), (0, w + 1), (0, 0)))
+            shifts = jnp.stack(
+                [vp[:, 0:n], vp[:, 1:n + 1],
+                 vp[:, w:n + w], vp[:, w + 1:n + w + 1]])  # (4,B,N,HH)
+            quad = jax.lax.dot_general(
+                shifts, sel, (((0, 3), (0, 1)), ((), ())),
+                preferred_element_type=gather_dtype,
+                precision=_precision(gather_dtype))        # (B,N,4HH)
+            quad = jnp.transpose(
+                quad.reshape(b, n, heads, 4 * hd), (0, 2, 1, 3))
         planes.append(quad)
-        start += h * w
+        start += n
     return jnp.concatenate(planes, axis=2)
 
 
@@ -181,18 +215,22 @@ def _slice_forward(plane_s, idx_s, w4_s, q, hd, nlv, npts, compute_dtype):
     # gather consumer and the gather drops off its fast vector-load path
     # (521 -> 126 M rows/s measured, tools/bench_msda_layer.py)
     rows = jax.lax.optimization_barrier(plane_s[idx_s])   # (S, 4hd)
-    wfull = jnp.repeat(w4_s.astype(compute_dtype), hd, axis=-1)
-    weighted = rows.astype(compute_dtype) * wfull
-    # lp-major fold: contract both the lp batch axis and the slot
-    # channel axis in one dot (146 vs 183 ms for the q-major single
-    # fold at b16 encoder shapes, bench --v6)
-    weighted = weighted.reshape(nlv * npts, q, 4 * hd)
-    fold = jnp.tile(_fold_matrix(4, hd, compute_dtype)[None],
-                    (nlv * npts, 1, 1))                   # (LP, 4hd, hd)
+    # fused multiply + reduce over the leading LP axis to a (q, 4hd)
+    # partial (ONE pass over the rows buffer; the earlier 2-contract
+    # fold materialized a weighted (S, 4hd) copy and re-read it:
+    # 151 -> 145 ms/layer at b16, bench --v15), then a tiny slot fold
+    rows3 = rows.reshape(nlv * npts, q, 4 * hd).astype(compute_dtype)
+    wfull = jnp.repeat(
+        w4_s.astype(compute_dtype).reshape(nlv * npts, q, 4), hd,
+        axis=-1)
+    part = jnp.sum((rows3 * wfull).astype(jnp.float32), axis=0)
+    # slot fold on the small (q, 4hd) f32 partial; HIGHEST keeps the 0/1
+    # selection exact (the dot is tiny, full precision is free here)
+    fold = _fold_matrix(4, hd, jnp.float32)               # (4hd, hd)
     return jax.lax.dot_general(
-        weighted, fold, (((0, 2), (0, 1)), ((), ())),
+        part, fold, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_precision(compute_dtype))              # (q, hd) f32
+        precision=jax.lax.Precision.HIGHEST)              # (q, hd) f32
 
 
 def _g4_tile(g_s, q, hd, nlv, npts, dtype):

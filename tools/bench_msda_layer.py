@@ -789,6 +789,252 @@ def main12():
               f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
 
 
+def main15():
+    """Forward core: fused multiply + reduce-over-LP to a (Q, C) partial,
+    then a tiny (4hd, hd) slot fold — one pass over the rows buffer
+    instead of the 2-contract fold's weighted materialization + re-read
+    (rows write 91 MB + weighted write 91 + fold read 91 vs rows write
+    91 + fused read 91 + ~6 MB partial)."""
+    LP = NLV * NPTS
+    plane, idx, w4 = make_inputs()
+
+    @jax.jit
+    def fold_current(plane, idx, w4):
+        fold = jnp.tile(fold_matrix(4, HD, jnp.bfloat16)[None],
+                        (LP, 1, 1))
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            wfull = jnp.repeat(w, HD, axis=-1)
+            weighted = (rows * wfull).reshape(LP, Q, C)
+            out = jax.lax.dot_general(
+                weighted, fold, (((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def mul_reduce_lp(plane, idx, w4):
+        fold = fold_matrix(4, HD, jnp.bfloat16)            # (4hd, hd)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wfull = jnp.repeat(w.reshape(LP, Q, 4), HD, axis=-1)
+            part = jnp.sum((rows * wfull).astype(jnp.float32), axis=0)
+            out = jax.lax.dot_general(
+                part.astype(jnp.bfloat16), fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def mul_reduce_lp_bf16(plane, idx, w4):
+        # bf16 partial accumulation over the 16 LP slabs
+        fold = fold_matrix(4, HD, jnp.bfloat16)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wfull = jnp.repeat(w.reshape(LP, Q, 4), HD, axis=-1)
+            part = jnp.sum(rows * wfull, axis=0)
+            out = jax.lax.dot_general(
+                part, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    rows = BH * S
+    for label, fn in (('2-contract fold (current)', fold_current),
+                      ('mul + reduce-LP f32', mul_reduce_lp),
+                      ('mul + reduce-LP bf16', mul_reduce_lp_bf16)):
+        t = timeit(fn, plane, idx, w4, iters=3)
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
+
+
+def main16():
+    """Quad-plane build attribution + variants.
+
+    The build is ~26 ms/layer at b16 vs ~2 ms of pure bandwidth — find
+    whether the (B,HW,heads,hd)->(B,heads,HW,hd) transpose or the
+    4-slot minor-dim concat is the bad emitter, and try reorderings."""
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    sum_hw = sum(h * w for h, w in shapes)
+    b, heads, hd = _B, 8, 32
+    value = jax.random.normal(jax.random.PRNGKey(0),
+                              (b, sum_hw, heads, hd), jnp.bfloat16)
+    jax.block_until_ready(value)
+
+    from demf_tpu.ops import msda as M
+
+    quad_cur = jax.jit(
+        lambda v: M._build_quad_plane(v, shapes, jnp.bfloat16))
+    t = timeit(quad_cur, value)
+    print(f'current build              {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def transpose_only(v):
+        outs = []
+        start = 0
+        for (h, w) in shapes:
+            vl = v[:, start:start + h * w]
+            outs.append(jnp.transpose(vl, (0, 2, 1, 3)))
+            start += h * w
+        return outs
+    t = timeit(transpose_only, value)
+    print(f'  per-level transpose      {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def concat_only(v):
+        # shifted-4 concat on an already (B, heads, HW, hd) input
+        outs = []
+        start = 0
+        for (h, w) in shapes:
+            vl = jnp.transpose(v[:, start:start + h * w], (0, 2, 1, 3))
+            vl = jax.lax.optimization_barrier(vl)
+            n = h * w
+            vp = jnp.pad(vl, ((0, 0), (0, 0), (0, w + 1), (0, 0)))
+            outs.append(jnp.concatenate(
+                [vp[:, :, 0:n], vp[:, :, 1:n + 1],
+                 vp[:, :, w:n + w], vp[:, :, w + 1:n + w + 1]], axis=-1))
+            start += h * w
+        return jnp.concatenate(outs, axis=2)
+    t = timeit(concat_only, value)
+    print(f'  transpose+barrier+concat {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def flat256_transpose(v):
+        # transpose as (B, HW, 256) -> (B, 256, HW) 2-D form, then view
+        # heads-major: (B, heads, hd, HW) needs hd<->HW swap after; try
+        # the big 2-D transpose alone to see if XLA's emitter likes it
+        v2 = v.reshape(b, sum_hw, heads * hd)
+        return jnp.transpose(v2, (0, 2, 1))
+    t = timeit(flat256_transpose, value)
+    print(f'  one (HW,256) transpose   {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def quad_then_transpose(v):
+        # build the 4-slot concat FIRST in value layout (B, HW, heads,
+        # 4hd), then one transpose with a 128-wide minor dim
+        outs = []
+        start = 0
+        for (h, w) in shapes:
+            vl = v[:, start:start + h * w]                 # (B,HW,hd8,32)
+            n = h * w
+            vp = jnp.pad(vl, ((0, 0), (0, w + 1), (0, 0), (0, 0)))
+            quad = jnp.concatenate(
+                [vp[:, 0:n], vp[:, 1:n + 1],
+                 vp[:, w:n + w], vp[:, w + 1:n + w + 1]], axis=-1)
+            outs.append(jnp.transpose(quad, (0, 2, 1, 3)))
+            start += h * w
+        return jnp.concatenate(outs, axis=2)
+    t = timeit(quad_then_transpose, value)
+    print(f'quad-then-transpose        {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def quad_flat_shift(v):
+        # all-level fused: pad the whole flat plane once per slot shift
+        # (levels' cross-boundary rows are never gathered except the
+        # y=h-1 tail which must read zeros -- NOT exact at level seams,
+        # emitter probe only)
+        vt = jnp.transpose(v.reshape(b, sum_hw, heads * hd), (0, 2, 1))
+        vt = jax.lax.optimization_barrier(vt)              # (B, 256, HW)
+        return vt
+    t = timeit(quad_flat_shift, value)
+    print(f'  flat256 + barrier        {t * 1e3:8.1f} ms', flush=True)
+    rows = b * heads * sum_hw
+
+
+def main17():
+    """Quad build via MXU copy-matmuls: shifted flat (B, HW, 256) views
+    contracted with 0/1 selector matrices that place head channels into
+    slot blocks — no pre-transpose, no 32-wide minor concat."""
+    shapes = ((100, 168), (50, 84), (25, 42), (13, 21))
+    sum_hw = sum(h * w for h, w in shapes)
+    b, heads, hd = _B, 8, 32
+    value = jax.random.normal(jax.random.PRNGKey(0),
+                              (b, sum_hw, heads, hd), jnp.bfloat16)
+    jax.block_until_ready(value)
+
+    from demf_tpu.ops import msda as M
+    quad_cur = jax.jit(
+        lambda v: M._build_quad_plane(v, shapes, jnp.bfloat16))
+    t = timeit(quad_cur, value)
+    print(f'current build              {t * 1e3:8.1f} ms', flush=True)
+
+    def selector_big():
+        # E_s (4, 256, 1024): E_s[s, h*hd+j, h*128 + s*hd + j] = 1
+        e = np.zeros((4, heads * hd, heads * 4 * hd), np.float32)
+        for s in range(4):
+            for h_ in range(heads):
+                for j in range(hd):
+                    e[s, h_ * hd + j, h_ * 4 * hd + s * hd + j] = 1.0
+        return jnp.asarray(e, jnp.bfloat16)
+
+    E_big = selector_big()
+
+    @jax.jit
+    def mxu_big(v):
+        planes = []
+        start = 0
+        for (h, w) in shapes:
+            n = h * w
+            vl = v.reshape(b, sum_hw, heads * hd)[:, start:start + n]
+            vp = jnp.pad(vl, ((0, 0), (0, w + 1), (0, 0)))
+            shifts = jnp.stack(
+                [vp[:, 0:n], vp[:, 1:n + 1],
+                 vp[:, w:n + w], vp[:, w + 1:n + w + 1]])   # (4,B,N,256)
+            quad = jax.lax.dot_general(
+                shifts, E_big, (((0, 3), (0, 1)), ((), ())),
+                preferred_element_type=jnp.bfloat16)        # (B,N,1024)
+            quad = jnp.transpose(
+                quad.reshape(b, n, heads, 4 * hd), (0, 2, 1, 3))
+            planes.append(quad)
+            start += n
+        return jnp.concatenate(planes, axis=2)
+    t = timeit(mxu_big, value)
+    print(f'mxu big + transpose        {t * 1e3:8.1f} ms', flush=True)
+
+    @jax.jit
+    def mxu_perhead(v):
+        planes = []
+        start = 0
+        for (h, w) in shapes:
+            n = h * w
+            vl = v.reshape(b, sum_hw, heads * hd)[:, start:start + n]
+            vp = jnp.pad(vl, ((0, 0), (0, w + 1), (0, 0)))
+            shifts = jnp.stack(
+                [vp[:, 0:n], vp[:, 1:n + 1],
+                 vp[:, w:n + w], vp[:, w + 1:n + w + 1]])   # (4,B,N,256)
+            per_head = []
+            for h_ in range(heads):
+                eh = E_big[:, :, h_ * 4 * hd:(h_ + 1) * 4 * hd]
+                q_h = jax.lax.dot_general(
+                    shifts, eh, (((0, 3), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.bfloat16)    # (B,N,128)
+                per_head.append(q_h)
+            planes.append(jnp.stack(per_head, axis=1))      # (B,h,N,128)
+            start += n
+        return jnp.concatenate(planes, axis=2)
+    t = timeit(mxu_perhead, value)
+    print(f'mxu per-head stack         {t * 1e3:8.1f} ms', flush=True)
+
+    # exactness check vs current (away from level seams the flat-shift
+    # semantics match)
+    a = np.asarray(quad_cur(value), np.float32)
+    for label, fn in (('big', mxu_big), ('perhead', mxu_perhead)):
+        c = np.asarray(fn(value), np.float32)
+        # compare on level-0 interior rows (y <= h-2 guaranteed rows)
+        n0 = shapes[0][0] * shapes[0][1] - shapes[0][1] - 1
+        err = np.abs(a[:, :, :n0] - c[:, :, :n0]).max()
+        print(f'  max|diff| vs current ({label}): {err}', flush=True)
+
+
 LEVELS = ((100, 168), (50, 84), (25, 42), (13, 21))
 LSIZES = tuple(h * w for h, w in LEVELS)
 LSTARTS = tuple(np.cumsum((0,) + LSIZES)[:4].tolist())
@@ -961,7 +1207,13 @@ def main14():
 
 
 if __name__ == '__main__':
-    if '--v14' in sys.argv:
+    if '--v17' in sys.argv:
+        main17()
+    elif '--v16' in sys.argv:
+        main16()
+    elif '--v15' in sys.argv:
+        main15()
+    elif '--v14' in sys.argv:
         main14()
     elif '--v13' in sys.argv:
         main13()
