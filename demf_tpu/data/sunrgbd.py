@@ -133,6 +133,32 @@ class SUNRGBDDataset:
                            iou_thresholds=tuple(iou_thr),
                            class_names=self.CLASSES, logger=logger)
 
+    def format_results(self, results, pklfile_prefix=None, **kwargs):
+        """Write results to ``<prefix>.pkl`` (reference eval.py:121 →
+        mmdet3d ``Custom3DDataset.format_results``): one record per scene
+        with boxes/scores/labels plus sample_idx and class names, so
+        downstream tooling can consume them without the dataset object.
+
+        Returns ``(results, out_file)``.
+        """
+        import pickle
+        import tempfile
+        if pklfile_prefix is None:
+            pklfile_prefix = os.path.join(tempfile.mkdtemp(), 'results')
+        d = os.path.dirname(os.path.abspath(str(pklfile_prefix)))
+        os.makedirs(d, exist_ok=True)
+        out = []
+        for i, r in enumerate(results):
+            rec = {k: np.asarray(v) for k, v in r.items()}
+            rec['sample_idx'] = (self.infos[i]['image']['image_idx']
+                                 if i < len(self.infos) and
+                                 'image' in self.infos[i] else i)
+            out.append(rec)
+        out_file = str(pklfile_prefix) + '.pkl'
+        with open(out_file, 'wb') as f:
+            pickle.dump(dict(results=out, classes=list(self.CLASSES)), f)
+        return results, out_file
+
 
 @DATASETS.register_module()
 class RepeatDataset:
@@ -152,6 +178,9 @@ class RepeatDataset:
 
     def evaluate(self, *args, **kwargs):
         return self.dataset.evaluate(*args, **kwargs)
+
+    def format_results(self, *args, **kwargs):
+        return self.dataset.format_results(*args, **kwargs)
 
 
 @DATASETS.register_module()

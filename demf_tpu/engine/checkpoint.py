@@ -21,30 +21,62 @@ def _ckpt_dir(work_dir):
 
 
 def save_checkpoint(work_dir, state, epoch, keep=-1, meta=None):
-    """Save train state under work_dir/checkpoints/<epoch>."""
+    """Save train state under work_dir/checkpoints/<epoch>.
+
+    ``meta`` (JSON-serializable dict) makes the checkpoint self-describing,
+    mirroring the reference embedding of config text / CLASSES / versions
+    into every checkpoint (reference train.py:127-137); it is written as a
+    ``<ckpt>.meta.json`` sidecar (orbax payloads hold arrays, not strings)
+    and read back by :func:`load_meta` (reference eval.py:90-98).
+    """
     path = _ckpt_dir(work_dir)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     target = os.path.join(path, f'epoch_{epoch + 1}')
     payload = {'state': jax.device_get(state), 'epoch': epoch}
-    if meta:
-        payload['meta'] = meta
     ckptr.save(target, payload, force=True)
     ckptr.wait_until_finished()
+    if meta:
+        import json
+        m = dict(meta)
+        m['epoch'] = epoch
+        with open(target + '.meta.json', 'w') as f:
+            json.dump(m, f, indent=1)
     if keep and keep > 0:
         existing = sorted(
-            (d for d in os.listdir(path) if d.startswith('epoch_')),
+            (d for d in os.listdir(path)
+             if re.fullmatch(r'epoch_\d+', d)
+             and os.path.isdir(os.path.join(path, d))),
             key=lambda d: int(d.split('_')[1]))
         for d in existing[:-keep]:
             import shutil
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            try:
+                os.remove(os.path.join(path, d + '.meta.json'))
+            except OSError:
+                pass
+
+
+def load_meta(ckpt_path):
+    """Read the ``<ckpt>.meta.json`` sidecar (None if absent).
+
+    The eval CLI uses this to recover CLASSES recorded at train time, the
+    equivalent of the reference reading ``checkpoint['meta']['CLASSES']``
+    (reference eval.py:90-98).
+    """
+    import json
+    path = os.path.abspath(ckpt_path).rstrip('/') + '.meta.json'
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def latest_checkpoint(work_dir):
     path = _ckpt_dir(work_dir)
     if not os.path.isdir(path):
         return None
-    epochs = [d for d in os.listdir(path) if d.startswith('epoch_')]
+    epochs = [d for d in os.listdir(path) if re.fullmatch(r'epoch_\d+', d)]
     if not epochs:
         return None
     latest = max(epochs, key=lambda d: int(d.split('_')[1]))

@@ -315,6 +315,49 @@ class TorchPorter:
         self.map_base_conv_bbox_head(f'{flax_path}/conv_pred',
                                      f'{torch_prefix}.conv_pred')
 
+    def map_fpn(self, flax_path='img_neck', torch_prefix='img_neck',
+                n_levels=4):
+        """mmdet FPN (ImVoteNet's image neck, imvotenet_image.py): 1x1
+        lateral convs + 3x3 fpn convs, bias, no norm; num_outs=5's extra
+        level is a parameter-free max-pool on both sides."""
+        for i in range(n_levels):
+            self.map_conv2d(f'{flax_path}/lateral_{i}',
+                            f'{torch_prefix}.lateral_convs.{i}.conv',
+                            bias=True)
+            self.map_conv2d(f'{flax_path}/fpn_conv_{i}',
+                            f'{torch_prefix}.fpn_convs.{i}.conv',
+                            bias=True)
+
+    def map_rpn_head(self, flax_path='img_rpn_head',
+                     torch_prefix='img_rpn_head'):
+        """mmdet RPNHead: 3x3 shared conv + 1x1 cls/reg convs (all bias)."""
+        for name in ('rpn_conv', 'rpn_cls', 'rpn_reg'):
+            self.map_conv2d(f'{flax_path}/{name}',
+                            f'{torch_prefix}.{name}', bias=True)
+
+    def map_roi_head(self, flax_path='img_roi_head',
+                     torch_prefix='img_roi_head', roi_size=7, channels=256):
+        """mmdet Shared2FCBBoxHead under StandardRoIHead.
+
+        shared_fcs.0 consumes the flattened RoI feature; torch flattens
+        (C, S, S) c-major while our RoI align emits (S, S, C) hwc-major
+        (rpn_roi.py StandardRoIHead), so its kernel rows are PERMUTED
+        (out, C*S*S) -> (S*S*C, out) via an (out, C, S, S) view."""
+        w = self._get(f'{torch_prefix}.bbox_head.shared_fcs.0.weight')
+        out_dim = w.shape[0]
+        w4 = w.reshape(out_dim, channels, roi_size, roi_size)
+        self.params[f'{flax_path}/shared_fc1/kernel'] = \
+            w4.transpose(2, 3, 1, 0).reshape(
+                roi_size * roi_size * channels, out_dim)
+        self.params[f'{flax_path}/shared_fc1/bias'] = self._get(
+            f'{torch_prefix}.bbox_head.shared_fcs.0.bias')
+        self.map_dense(f'{flax_path}/shared_fc2',
+                       f'{torch_prefix}.bbox_head.shared_fcs.1')
+        self.map_dense(f'{flax_path}/fc_cls',
+                       f'{torch_prefix}.bbox_head.fc_cls')
+        self.map_dense(f'{flax_path}/fc_reg',
+                       f'{torch_prefix}.bbox_head.fc_reg')
+
     def map_resnet50(self, flax_path='img_backbone',
                      torch_prefix='img_backbone'):
         self.map_conv2d(f'{flax_path}/conv1', f'{torch_prefix}.conv1')
@@ -469,6 +512,25 @@ class MinkPorter(TorchPorter):
                 f'{torch_prefix}.cls_conv.bias').reshape(-1)
 
 
+def _strict_check(porter, variables_template, report):
+    """Raise unless the port covered every template leaf and consumed every
+    torch key (num_batches_tracked counters excepted)."""
+    tmpl_params = flatten_params(variables_template['params'])
+    tmpl_stats = flatten_params(variables_template.get('batch_stats', {}))
+    missing_tmpl = (set(tmpl_params) - set(porter.params)) | {
+        k for k in tmpl_stats if k not in porter.batch_stats}
+    unused = {k for k in set(porter.sd) - porter.used
+              if not k.endswith('num_batches_tracked')}
+    if report['unmatched_flax_keys'] or missing_tmpl or unused:
+        raise ValueError(
+            'incomplete port: '
+            f'unmatched={report["unmatched_flax_keys"][:5]} '
+            f'missing_template={sorted(missing_tmpl)[:5]} '
+            f'unused_torch={sorted(unused)[:5]} '
+            f'(counts: {len(report["unmatched_flax_keys"])}/'
+            f'{len(missing_tmpl)}/{len(unused)})')
+
+
 def port_fcaf3d_checkpoint(state_dict, variables_template, depth=34,
                            n_levels=4, strict=True):
     """Port an mmdet3d FCAF3D state_dict (MinkResNet + FCAF3DHead) into
@@ -485,21 +547,7 @@ def port_fcaf3d_checkpoint(state_dict, variables_template, depth=34,
     porter.map_fcaf3d_head(n_levels=n_levels)
     variables, report = porter.build(variables_template)
     if strict:
-        tmpl_params = flatten_params(variables_template['params'])
-        tmpl_stats = flatten_params(
-            variables_template.get('batch_stats', {}))
-        missing_tmpl = (set(tmpl_params) - set(porter.params)) | {
-            k for k in tmpl_stats if k not in porter.batch_stats}
-        unused = {k for k in set(porter.sd) - porter.used
-                  if not k.endswith('num_batches_tracked')}
-        if report['unmatched_flax_keys'] or missing_tmpl or unused:
-            raise ValueError(
-                'incomplete port: '
-                f'unmatched={report["unmatched_flax_keys"][:5]} '
-                f'missing_template={sorted(missing_tmpl)[:5]} '
-                f'unused_torch={sorted(unused)[:5]} '
-                f'(counts: {len(report["unmatched_flax_keys"])}/'
-                f'{len(missing_tmpl)}/{len(unused)})')
+        _strict_check(porter, variables_template, report)
     return variables, report
 
 
@@ -529,22 +577,72 @@ def port_demf_checkpoint(state_dict, variables_template,
     porter.map_deform_detr_encoder()
     variables, report = porter.build(variables_template)
     if strict:
-        tmpl_params = flatten_params(variables_template['params'])
-        tmpl_stats = flatten_params(variables_template.get('batch_stats',
-                                                           {}))
-        missing_tmpl = (set(tmpl_params) - set(porter.params)) | {
-            k for k in tmpl_stats if k not in porter.batch_stats}
-        unused = set(porter.sd) - porter.used
-        # torch checkpoints carry num_batches_tracked counters we never use
-        unused = {k for k in unused if not k.endswith('num_batches_tracked')}
-        if report['unmatched_flax_keys'] or missing_tmpl or unused:
-            raise ValueError(
-                'incomplete port: '
-                f'unmatched={report["unmatched_flax_keys"][:5]} '
-                f'missing_template={sorted(missing_tmpl)[:5]} '
-                f'unused_torch={sorted(unused)[:5]} '
-                f'(counts: {len(report["unmatched_flax_keys"])}/'
-                f'{len(missing_tmpl)}/{len(unused)})')
+        _strict_check(porter, variables_template, report)
+    return variables, report
+
+
+def port_imvotenet_checkpoint(state_dict, variables_template, strict=True):
+    """Port a full mmdet3d ImVoteNet state_dict into flax variables.
+
+    Covers the released stage-2 checkpoint (reference README.md:43-46,
+    64.4 mAP baseline): frozen Faster R-CNN image branch (ResNet-50 +
+    FPN + RPNHead + Shared2FCBBoxHead RoI head), PointNet2SASSG point
+    backbone, the three CAVoteHead towers ``pts_bbox_head_{joint,pts,
+    img}`` and the 18-cue ``img_mlp`` (reference
+    configs/baseline/imvotenet.py).  VoteFusion has no parameters.
+
+    Returns (variables, report); ``strict`` enforces 100% template
+    coverage with zero unused torch keys.
+    """
+    porter = TorchPorter(state_dict)
+    porter.map_resnet50()
+    porter.map_fpn()
+    porter.map_rpn_head()
+    porter.map_roi_head()
+    porter.map_pointnet2()
+    for tower in ('joint', 'pts', 'img'):
+        porter.map_ca_vote_head(f'pts_bbox_head_{tower}',
+                                f'pts_bbox_head_{tower}')
+    porter.map_shared_mlp('img_mlp/mlp', 'img_mlp.mlp', 2)
+    variables, report = porter.build(variables_template)
+    if strict:
+        _strict_check(porter, variables_template, report)
+    return variables, report
+
+
+def port_stage1_into_demf(state_dict, variables_template):
+    """Warm-start a DeMF model's IMAGE branch from a stage-1 DETR-pretrain
+    torch checkpoint (the released 2D pretrain ckpt, reference
+    README.md:45).
+
+    Torch-side key remap mirrors reference demfnet.py:85-101:
+    ``img_bbox_head.transformer.{encoder,level_embeds}`` moves to
+    ``img_encoder`` and every other ``img_bbox_head`` key (the DETR
+    decoder / classifier, unused by DeMF) is dropped; the point branch
+    keeps its template init.  Returns (variables, report).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith('img_bbox_head.transformer.encoder.') or \
+                k.startswith('img_bbox_head.transformer.level_embeds'):
+            sd[k.replace('img_bbox_head.transformer', 'img_encoder', 1)] = v
+        elif k.startswith('img_bbox_head.') or k.startswith('pts_'):
+            continue  # DETR head dropped (demfnet.py:98); pts not pretrained
+        else:
+            sd[k] = v
+    porter = TorchPorter(sd)
+    porter.map_resnet50()
+    porter.map_channel_mapper()
+    porter.map_deform_detr_encoder()
+    variables, report = porter.build(variables_template)
+    # the whole surviving torch tree must land in the template
+    unused = {k for k in set(porter.sd) - porter.used
+              if not k.endswith('num_batches_tracked')}
+    if report['unmatched_flax_keys'] or unused:
+        raise ValueError(
+            'incomplete stage-1 warm-start port: '
+            f'unmatched={report["unmatched_flax_keys"][:5]} '
+            f'unused_torch={sorted(unused)[:5]}')
     return variables, report
 
 

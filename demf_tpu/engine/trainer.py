@@ -131,7 +131,8 @@ class Runner:
     """
 
     def __init__(self, model, tx, variables, train_loader, cfg,
-                 work_dir=None, eval_fn=None, logger=None, mesh=None):
+                 work_dir=None, eval_fn=None, logger=None, mesh=None,
+                 meta=None):
         self.model = model
         self.tx = tx
         if mesh is None:
@@ -143,6 +144,9 @@ class Runner:
         self.state = replicate(self.state, self.mesh)
         self.train_loader = train_loader
         self.cfg = cfg
+        # checkpoint meta (config text / CLASSES / version / seed) embedded
+        # into every save, reference train.py:127-137
+        self.meta = meta
         self.work_dir = work_dir
         self.eval_fn = eval_fn
         self.logger = logger or print
@@ -169,7 +173,8 @@ class Runner:
             return
         from .checkpoint import save_checkpoint
         save_checkpoint(self.work_dir, self.state, epoch,
-                        keep=self.cfg.get('max_keep_ckpts', -1))
+                        keep=self.cfg.get('max_keep_ckpts', -1),
+                        meta=self.meta)
 
     def resume(self, path):
         from .checkpoint import restore_checkpoint

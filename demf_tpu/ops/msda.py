@@ -65,8 +65,9 @@ def _quad_selector_np(heads, hd):
     """(4, heads*hd, heads*4*hd) 0/1 selector: E[s, h*hd+j,
     h*4*hd + s*hd + j] = 1 — contracting shifted flat value views with
     E places head h's channels into slot block s of the quad row.
-    Cached as numpy (device conversion happens per trace — caching the
-    jnp array would leak a tracer-backed constant across traces)."""
+    Cached as numpy so the constant stays host-resident and
+    backend-agnostic; each call site converts it to the requested dtype
+    (``_quad_selector``)."""
     import numpy as np
     e = np.zeros((4, heads * hd, heads * 4 * hd), np.float32)
     for s in range(4):
@@ -95,6 +96,10 @@ def _build_quad_plane(value, spatial_shapes, gather_dtype):
     concat whose partial-tile writes made the copy form ~26 ms/layer at
     b16 (MXU form: 20 ms; exact — each output channel sums exactly one
     0/1-selected input, tools/bench_msda_layer.py --v16/--v17).
+    NOTE: the selector and its contraction scale as heads^2*hd^2
+    (4*heads*hd contracting dim per output element) — 2 MB bf16 and a
+    net win at the reference's 8x32, but re-benchmark against the
+    transpose+concat form before adopting wider head configs.
     Rows whose shift crosses the row boundary (x = w-1) pick up the
     next image row instead of zero — harmless because the sampling
     geometry clamps bx <= w-2 / by <= h-2, so those quad rows are never

@@ -76,15 +76,36 @@ def data_sharding(mesh, data_axis='data'):
     return NamedSharding(mesh, P(data_axis))
 
 
+def _put_global(x, sharding):
+    """Place one GLOBAL host array onto a (possibly multi-process) sharding.
+
+    Single process: plain ``device_put``.  Multi-process (the mesh spans
+    devices this process cannot address): every process holds the same
+    global array and contributes only its addressable shards via
+    ``make_array_from_callback`` — the jax-native equivalent of DDP's
+    per-rank scatter (each rank feeds its slice of the global batch).
+    """
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_batch(batch, mesh, data_axis='data'):
-    """Place a host batch dict onto the mesh, batch-dim sharded."""
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    The batch is GLOBAL: under multi-process each process must pass the
+    same (deterministically loaded) global batch and only its local rows
+    are materialized on its devices.
+    """
     sharding = data_sharding(mesh, data_axis)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x: _put_global(x, sharding), batch)
 
 
 def replicate(tree, mesh):
     """Fully replicate a pytree (params/opt state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+        lambda x: _put_global(x, sharding), tree)

@@ -34,6 +34,25 @@ def main(argv=None):
     from demf_tpu.utils.registry import DETECTORS, build_from_cfg
 
     dataset = build_dataset(cfg.data['test'])
+
+    # self-describing checkpoints: recover CLASSES recorded at train time
+    # (reference eval.py:90-98 reads checkpoint['meta']['CLASSES'])
+    from demf_tpu.engine.checkpoint import load_meta
+    ckpt_meta = load_meta(args.checkpoint)
+    if ckpt_meta:
+        info = {k: ckpt_meta[k] for k in
+                ('config_file', 'demf_tpu_version', 'seed', 'time', 'epoch')
+                if k in ckpt_meta}
+        print(f'checkpoint meta: {info}')
+        classes = ckpt_meta.get('CLASSES')
+        if classes and tuple(classes) != tuple(
+                getattr(dataset, 'CLASSES', ()) or ()):
+            print(f'using CLASSES from checkpoint meta: {classes}')
+            ds = getattr(dataset, 'dataset', dataset)
+            ds.CLASSES = tuple(classes)
+            if ds is not dataset:
+                dataset.CLASSES = tuple(classes)
+
     model = build_from_cfg(cfg.model, DETECTORS)
 
     batch0 = collate_fixed([dataset[0]], max_gt=cfg.get('max_gt', 64))
@@ -74,6 +93,11 @@ def main(argv=None):
         show_dataset_results(dataset, results, out_dir)
         print(f'visualizations written to {out_dir}')
     if args.format_only:
+        # reference eval.py:119-121: dataset.format_results(results, **kw)
+        prefix = (args.eval_options or {}).get('pklfile_prefix')
+        _, out_file = dataset.format_results(results,
+                                             pklfile_prefix=prefix)
+        print(f'formatted results written to {out_file}')
         return
     if args.eval:
         metrics = dataset.evaluate(results, metric=args.eval,

@@ -17,10 +17,11 @@ def test_train_then_eval_cli(tmp_path):
     work_dir = str(tmp_path / 'work')
     train_cli.main([cfg, '--work-dir', work_dir, '--seed', '1'])
 
-    ckpt_dir = os.path.join(work_dir, 'checkpoints')
-    epochs = sorted(os.listdir(ckpt_dir))
-    assert epochs, 'no checkpoint written'
-    ckpt = os.path.join(ckpt_dir, epochs[-1])
+    from demf_tpu.engine.checkpoint import latest_checkpoint
+    ckpt = latest_checkpoint(work_dir)
+    assert ckpt, 'no checkpoint written'
+    # self-describing checkpoint: meta sidecar exists alongside
+    assert os.path.isfile(ckpt + '.meta.json')
 
     out = str(tmp_path / 'results.pkl')
     eval_cli.main([cfg, ckpt, '--out', out, '--eval', 'mAP'])

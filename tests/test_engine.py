@@ -218,3 +218,26 @@ def test_bf16_policy_keeps_points_fp32():
     with compute_dtype_scope('bfloat16'):
         assert cast_compute(x).dtype == jnp.bfloat16
     assert cast_compute(x).dtype == jnp.float32
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    """Self-describing checkpoints (reference train.py:127-137 embeds config
+    text / CLASSES / versions; eval.py:90-98 reads CLASSES back)."""
+    from demf_tpu.engine.checkpoint import (load_meta, restore_checkpoint,
+                                            save_checkpoint)
+    state = {'params': {'w': jnp.arange(4, dtype=jnp.float32)},
+             'opt': jnp.zeros((2,))}
+    meta = dict(config='model = dict(type="VoteNet")',
+                CLASSES=['bed', 'chair'], demf_tpu_version='0.1.0', seed=3)
+    save_checkpoint(str(tmp_path), state, epoch=0, meta=meta)
+    ckpt = str(tmp_path / 'checkpoints' / 'epoch_1')
+    m = load_meta(ckpt)
+    assert m['CLASSES'] == ['bed', 'chair']
+    assert m['epoch'] == 0 and m['seed'] == 3
+    assert 'VoteNet' in m['config']
+    restored, epoch = restore_checkpoint(ckpt, state)
+    assert epoch == 0
+    np.testing.assert_array_equal(np.asarray(restored['params']['w']),
+                                  np.arange(4, dtype=np.float32))
+    # checkpoints without a sidecar are still loadable (meta is None)
+    assert load_meta(str(tmp_path / 'nope')) is None

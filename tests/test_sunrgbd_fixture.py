@@ -168,3 +168,27 @@ def test_show_results_obj_dump(tmp_path):
     assert txt.count('\nl ') + txt.startswith('l ') >= 12  # wireframe lines
     # empty scene 2 -> empty pred obj, still written points
     assert '000002_points.obj' in files
+
+
+def test_format_results(tmp_path):
+    """dataset.format_results writes a self-contained pkl (reference
+    eval.py:119-121 -> mmdet3d Custom3DDataset.format_results)."""
+    import pickle
+
+    ds = SUNRGBDDataset(data_root=FIXTURE, ann_file=ANN, pipeline=None,
+                        test_mode=True, filter_empty_gt=False)
+    results = [dict(boxes_3d=np.zeros((2, 7), np.float32),
+                    scores_3d=np.array([0.9, 0.4], np.float32),
+                    labels_3d=np.array([1, 3], np.int64))
+               for _ in range(len(ds))]
+    _, out_file = ds.format_results(
+        results, pklfile_prefix=str(tmp_path / 'res'))
+    with open(out_file, 'rb') as f:
+        dumped = pickle.load(f)
+    assert dumped['classes'] == list(SUNRGBD_CLASSES)
+    assert len(dumped['results']) == len(ds)
+    assert dumped['results'][0]['scores_3d'].shape == (2,)
+    assert 'sample_idx' in dumped['results'][0]
+    # prefix omitted -> a temp file is still produced
+    _, tmp_file = ds.format_results(results)
+    assert os.path.isfile(tmp_file)

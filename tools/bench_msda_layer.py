@@ -938,16 +938,15 @@ def main16():
 
     @jax.jit
     def quad_flat_shift(v):
-        # all-level fused: pad the whole flat plane once per slot shift
-        # (levels' cross-boundary rows are never gathered except the
-        # y=h-1 tail which must read zeros -- NOT exact at level seams,
-        # emitter probe only)
+        # 'flat256 + barrier' probe: just the big 2-D flat transpose with
+        # a barrier, to isolate the emitter cost of the (B, HW, 256) ->
+        # (B, 256, HW) reshuffle (the fused pad+shift variant it once
+        # fed was trimmed after losing)
         vt = jnp.transpose(v.reshape(b, sum_hw, heads * hd), (0, 2, 1))
         vt = jax.lax.optimization_barrier(vt)              # (B, 256, HW)
         return vt
     t = timeit(quad_flat_shift, value)
     print(f'  flat256 + barrier        {t * 1e3:8.1f} ms', flush=True)
-    rows = b * heads * sum_hw
 
 
 def main17():

@@ -142,8 +142,20 @@ def main(argv=None):
         seed=args.seed,
         # reference fp16 surface (eval.py:84-86) -> bf16 policy on TPU
         fp16=cfg.get('fp16'), bf16=cfg.get('bf16'))
+    # self-describing checkpoints (reference train.py:127-137 embeds the
+    # config text, CLASSES and versions into checkpoint meta)
+    import demf_tpu
+    ckpt_meta = dict(
+        config=cfg.dump(),
+        config_file=os.path.basename(args.config),
+        CLASSES=list(getattr(dataset, 'CLASSES', []) or []),
+        demf_tpu_version=demf_tpu.__version__,
+        jax_version=jax.__version__,
+        seed=args.seed,
+        time=time.strftime('%Y-%m-%d %H:%M:%S'))
     runner = Runner(model, tx, variables, loader, runner_cfg,
-                    work_dir=cfg.work_dir, eval_fn=eval_fn, logger=logger)
+                    work_dir=cfg.work_dir, eval_fn=eval_fn, logger=logger,
+                    meta=ckpt_meta)
     if args.resume_from:
         runner.resume(args.resume_from)
         logger(f'resumed from {args.resume_from}')
