@@ -319,13 +319,27 @@ def _masked_quantile_z(jnp, z, cnt, q):
 
     z: (B, N) with padding after cnt; padded entries ignored.
     """
+    import jax
     big = jnp.asarray(3.4e38, z.dtype)
     n = z.shape[1]
     mask = jnp.arange(n)[None] < cnt[:, None]
-    zs = jnp.sort(jnp.where(mask, z, big), axis=1)
+    zm = jnp.where(mask, z, big)
+    # the needed rank is bounded STATICALLY by q*(n-1)+1, so for small q
+    # (the 0.0099 floor-height quantile: rank <= 199 at n=20k) an exact
+    # top_k of the k smallest replaces the full (B, N) sort -- the sort
+    # was one of the two device-preprocess sorts that made the devpipe
+    # step 39 ms slower than the cached step (BENCH r4: devpipe 60 vs
+    # headline 70 scenes/s)
+    k_cap = int(np.floor(q * (n - 1))) + 2
+    if k_cap <= 1024:
+        zs = -jax.lax.top_k(-zm, k_cap)[0]         # k smallest, ascending
+        n_idx = k_cap
+    else:
+        zs = jnp.sort(zm, axis=1)
+        n_idx = n
     pos = q * (cnt.astype(jnp.float32) - 1.0)
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
-    hi = jnp.clip(lo + 1, 0, n - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_idx - 1)
+    hi = jnp.clip(lo + 1, 0, n_idx - 1)
     hi = jnp.minimum(hi, jnp.maximum(cnt - 1, 0))
     frac = pos - lo.astype(jnp.float32)
     vlo = jnp.take_along_axis(zs, lo[:, None], axis=1)[:, 0]
@@ -472,14 +486,23 @@ def make_device_preprocess(spec: DevicePreprocessSpec):
 
             if spec.num_points is not None:
                 num = spec.num_points
-                keys = jax.random.uniform(r_keys, (b, ncap))
-                keys = jnp.where(jnp.arange(ncap)[None] < cnt[:, None],
-                                 keys, 2.0)
-                perm = jnp.argsort(keys, axis=1)[:, :num]     # w/o repl
                 u = jax.random.uniform(r_wr, (b, num))
                 wr = jnp.floor(
                     u * jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
                 ).astype(jnp.int32)                            # w/ repl
+                if num == ncap:
+                    # cnt >= num can only be cnt == ncap: every point is
+                    # kept, so the without-replacement draw reduces to
+                    # identity (the reference permutes all N points here;
+                    # the SET kept is identical and the (B, cap) key
+                    # argsort -- the other devpipe sort -- disappears)
+                    perm = jnp.broadcast_to(
+                        jnp.arange(num, dtype=jnp.int32)[None], (b, num))
+                else:
+                    keys = jax.random.uniform(r_keys, (b, ncap))
+                    keys = jnp.where(
+                        jnp.arange(ncap)[None] < cnt[:, None], keys, 2.0)
+                    perm = jnp.argsort(keys, axis=1)[:, :num]  # w/o repl
                 idx = jnp.where((cnt >= num)[:, None], perm, wr)
                 pts = jnp.take_along_axis(pts, idx[..., None], axis=1)
             batch['points'] = pts

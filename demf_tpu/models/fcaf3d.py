@@ -63,7 +63,7 @@ class FCAF3DHead(nn.Module):
         and shared by the up-block conv and the out-block conv."""
         return S.neighbor_table_batched(
             coords, valid, coords, valid, S.kernel_offsets(3),
-            in_stride=tensor_stride)
+            in_stride=tensor_stride, sorted_input=True)
 
     def _out_block(self, st, cin, tensor_stride, name, train, nbr=None):
         coords, valid, x = st
@@ -83,7 +83,9 @@ class FCAF3DHead(nn.Module):
         wt = _conv_param(self, f'{name}_tconv', 2, cin, cout)
         y = S.transposed_conv_to_batched(fine_coords, fine_valid, cc, cv,
                                          cf, wt,
-                                         tensor_stride=fine_stride)
+                                         tensor_stride=fine_stride,
+                                         sorted_input=True,
+                                         sorted_fine=True)
         y = MaskedBatchNorm(name=f'{name}_tbn')(y, fine_valid, train)
         y = nn.elu(y)
         w = _conv_param(self, f'{name}_conv', 3, cout, cout)

@@ -86,7 +86,8 @@ class SparseBasicBlock(nn.Module):
             w1 = _conv_param(self, 'conv1', 2, cin, self.channels)
             coords_o, valid_o, y = S.strided_conv_batched(
                 coords, valid, x, w1, stride=self.stride, kernel_size=2,
-                max_out=max(1, coords.shape[1] // 2), tensor_stride=ts)
+                max_out=max(1, coords.shape[1] // 2), tensor_stride=ts,
+                sorted_input=True)
             out_ts = ts * self.stride
         else:
             w1 = _conv_param(self, 'conv1', 3, cin, self.channels)
@@ -101,7 +102,8 @@ class SparseBasicBlock(nn.Module):
             # return below, later blocks on this level) reuse it
             nbr = S.neighbor_table_batched(
                 coords_o, valid_o, coords_o, valid_o,
-                S.kernel_offsets(3), in_stride=out_ts)
+                S.kernel_offsets(3), in_stride=out_ts,
+                sorted_input=True)
         w2 = _conv_param(self, 'conv2', 3, self.channels, self.channels)
         y = S.submanifold_conv_batched(coords_o, valid_o, y, w2,
                                        tensor_stride=out_ts, nbr=nbr)
@@ -114,12 +116,14 @@ class SparseBasicBlock(nn.Module):
                 wd = _conv_param(self, 'down', 1, cin, self.channels)
                 dn_nbr = S.neighbor_table_batched(
                     coords, valid, coords_o, valid_o,
-                    S.kernel_offsets(1), in_stride=ts)
+                    S.kernel_offsets(1), in_stride=ts,
+                    sorted_input=True)
                 idn = S.sparse_conv_apply_batched(
                     x, dn_nbr, wd,
                     rev=dict(kernel_size=1, in_stride=ts,
                              out_coords=coords_o, out_valid=valid_o,
-                             in_coords=coords, in_valid=valid))
+                             in_coords=coords, in_valid=valid,
+                             sorted_out=True))
             else:
                 idn = nn.Dense(self.channels, use_bias=False,
                                name='down')(x)
@@ -157,16 +161,19 @@ class MinkResNet(nn.Module):
         # voxel_size=0.01)
         w = _conv_param(self, 'stem_conv', 3, feats.shape[-1],
                         self.stem_channels)
+        # sorted_input: voxelize emits key-sorted, valid-prefix tables
         c_s, v_s, x = S.strided_conv_batched(
             coords, valid, feats, w, stride=2, kernel_size=3,
-            max_out=max(1, coords.shape[1] // 2), tensor_stride=1)
+            max_out=max(1, coords.shape[1] // 2), tensor_stride=1,
+            sorted_input=True)
         x = MaskedBatchNorm(name='stem_bn')(x, v_s, train)
         x = nn.relu(x)
         st = (c_s, v_s, jnp.where(v_s[..., None], x, 0.0))
         ts = 2
         if self.pool:
             st = S.sparse_max_pool_batched(
-                *st, max_out=max(1, c_s.shape[1] // 2), tensor_stride=2)
+                *st, max_out=max(1, c_s.shape[1] // 2), tensor_stride=2,
+                sorted_input=True)
             ts = 4
 
         outs = []

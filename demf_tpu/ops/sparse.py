@@ -99,6 +99,22 @@ def build_key_table(coords, valid):
     return keys[order], order.astype(jnp.int32)
 
 
+def key_table_presorted(coords, valid):
+    """``build_key_table`` for coordinate sets already in key order.
+
+    Every coordinate table the FCAF3D/DeMF-FCAF3D models produce is
+    emitted in sorted-key, valid-prefix order (``voxelize`` and
+    ``downsample_coords`` both write rows in sorted segment order), so
+    the per-level argsort is redundant — at b8/16k voxels the per-step
+    table argsorts were ~25 ms of the 208 ms step (VERDICT r3 item 4).
+    Callers assert the invariant via ``sorted_input=True``; padding rows
+    map to the INT32_MAX sentinel exactly like the sorted output of
+    ``build_key_table``.
+    """
+    keys = jnp.where(valid, linearize(coords), jnp.iinfo(jnp.int32).max)
+    return keys, jnp.arange(coords.shape[0], dtype=jnp.int32)
+
+
 def lookup(skeys, order, query_coords, query_valid):
     """Find rows of ``query_coords`` in the table; -1 when absent.
 
@@ -298,7 +314,7 @@ def _lookup_bucketed_batched(packed, query_coords, query_valid):
 
 
 def neighbor_table_batched(in_coords, in_valid, out_coords, out_valid,
-                           offsets, in_stride=1):
+                           offsets, in_stride=1, sorted_input=False):
     """Batched ``neighbor_table``: (B, M_out, K) from (B, M_in, 3).
 
     One sorted table per sample (vmapped build), then one flat-batch
@@ -309,8 +325,13 @@ def neighbor_table_batched(in_coords, in_valid, out_coords, out_valid,
     k=2/k=3 cubic kernels take the fused z-run path: one overlap-line
     gather per (o0, o1) tap group resolves all its z taps
     (``_lookup_zrun_batched``), a 3x (k=3) / 2x (k=2) cut in the
-    count-bound bucket-line gathers."""
-    sk, od = jax.vmap(build_key_table)(in_coords, in_valid)
+    count-bound bucket-line gathers.
+
+    ``sorted_input=True`` asserts ``in_coords`` is already in
+    sorted-key, valid-prefix order (``key_table_presorted``) and skips
+    the per-sample argsort."""
+    table_fn = key_table_presorted if sorted_input else build_key_table
+    sk, od = jax.vmap(table_fn)(in_coords, in_valid)
     runs = _z_runs(offsets)
     if runs is not None:
         lines, pivots = jax.vmap(_bucketed_table_ov)(sk, od)
@@ -430,9 +451,10 @@ def _conv_sym_bwd(res, g):
 _conv_sym.defvjp(_conv_sym_fwd, _conv_sym_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _conv_revgeo(kernel_size, in_stride, rev_sign, feats, nbr, weights,
-                 out_coords, out_valid, in_coords, in_valid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _conv_revgeo(kernel_size, in_stride, rev_sign, sorted_out, feats,
+                 nbr, weights, out_coords, out_valid, in_coords,
+                 in_valid):
     """Gather-matmul conv whose VJP builds a REVERSE table (rev slot t
     of input voxel i is the output row reading i at tap t, query =
     i + rev_sign * offsets[t] * in_stride) in the backward pass and
@@ -444,21 +466,24 @@ def _conv_revgeo(kernel_size, in_stride, rev_sign, feats, nbr, weights,
     return _conv_scan_math(feats, nbr, weights)
 
 
-def _conv_revgeo_fwd(kernel_size, in_stride, rev_sign, feats, nbr,
-                     weights, out_coords, out_valid, in_coords,
-                     in_valid):
+def _conv_revgeo_fwd(kernel_size, in_stride, rev_sign, sorted_out,
+                     feats, nbr, weights, out_coords, out_valid,
+                     in_coords, in_valid):
     out = _conv_scan_math(feats, nbr, weights)
     return out, (feats, nbr, weights, out_coords, out_valid, in_coords,
                  in_valid)
 
 
-def _conv_revgeo_bwd(kernel_size, in_stride, rev_sign, res, g):
+def _conv_revgeo_bwd(kernel_size, in_stride, rev_sign, sorted_out, res,
+                     g):
     feats, nbr, weights, out_coords, out_valid, in_coords, in_valid = res
     g = g.astype(feats.dtype)
     offs = rev_sign * kernel_offsets(kernel_size)
+    # the reverse table's INPUT set is the forward's output set
     rev_nbr = neighbor_table_batched(out_coords, out_valid, in_coords,
                                      in_valid, offs,
-                                     in_stride=in_stride)
+                                     in_stride=in_stride,
+                                     sorted_input=sorted_out)
     d_feats = _conv_scan_math(
         g, rev_nbr, jnp.transpose(weights, (0, 2, 1)))
     d_w = _conv_dweights(feats, nbr, g).astype(weights.dtype)
@@ -477,9 +502,10 @@ def sparse_conv_apply_batched(feats, nbr, weights, bias=None, rev=None):
       * 'flip': submanifold case (out set == in set, odd centered
         kernel) — the reverse table is the tap-flipped ``nbr``;
       * dict(kernel_size=, in_stride=, out_coords=, out_valid=,
-        in_coords=, in_valid=[, rev_sign=-1]): the backward builds a
-        reverse table (zero forward cost); rev_sign=+1 for transposed
-        convs.
+        in_coords=, in_valid=[, rev_sign=-1][, sorted_out=False]): the
+        backward builds a reverse table (zero forward cost);
+        rev_sign=+1 for transposed convs; sorted_out=True asserts
+        out_coords is key-sorted (skips the reverse table's argsort).
     """
     if rev is None:
         out = _conv_scan_math(feats, nbr, weights)
@@ -488,22 +514,26 @@ def sparse_conv_apply_batched(feats, nbr, weights, bias=None, rev=None):
     else:
         out = _conv_revgeo(int(rev['kernel_size']),
                            int(rev['in_stride']),
-                           int(rev.get('rev_sign', -1)), feats, nbr,
-                           weights, rev['out_coords'], rev['out_valid'],
-                           rev['in_coords'], rev['in_valid'])
+                           int(rev.get('rev_sign', -1)),
+                           bool(rev.get('sorted_out', False)), feats,
+                           nbr, weights, rev['out_coords'],
+                           rev['out_valid'], rev['in_coords'],
+                           rev['in_valid'])
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
 
 
 def submanifold_conv_batched(coords, valid, feats, weights, bias=None,
-                             kernel_size=3, tensor_stride=1, nbr=None):
+                             kernel_size=3, tensor_stride=1, nbr=None,
+                             sorted_input=False):
     """Batched ``submanifold_conv``: tables per sample (vmapped index
     math), features through the flattened batched gather path."""
     if nbr is None:
         offs = kernel_offsets(kernel_size)
         nbr = neighbor_table_batched(coords, valid, coords, valid, offs,
-                                     in_stride=tensor_stride)
+                                     in_stride=tensor_stride,
+                                     sorted_input=sorted_input)
     rev = 'flip' if kernel_size % 2 == 1 else None
     out = sparse_conv_apply_batched(feats, nbr, weights, bias, rev=rev)
     return jnp.where(valid[..., None], out, 0.0)
@@ -576,24 +606,31 @@ def strided_conv(coords, valid, feats, weights, bias=None, stride=2,
 
 def strided_conv_batched(coords, valid, feats, weights, bias=None,
                          stride=2, kernel_size=2, max_out=None,
-                         tensor_stride=1):
-    """Batched ``strided_conv`` (flattened feature gathers)."""
+                         tensor_stride=1, sorted_input=False):
+    """Batched ``strided_conv`` (flattened feature gathers).
+
+    The output coordinate set is always key-sorted
+    (``downsample_coords`` emits sorted segments), so the backward
+    reverse table never argsorts; ``sorted_input`` additionally skips
+    the forward table's argsort when the INPUT set is sorted."""
     max_out = max_out or coords.shape[1]
     offs = kernel_offsets(kernel_size)
 
     oc, ov = jax.vmap(lambda c, v: downsample_coords(
         c, v, stride * tensor_stride, max_out))(coords, valid)
     nbr = neighbor_table_batched(coords, valid, oc, ov, offs,
-                                 in_stride=tensor_stride)
+                                 in_stride=tensor_stride,
+                                 sorted_input=sorted_input)
     rev = dict(kernel_size=kernel_size, in_stride=tensor_stride,
                out_coords=oc, out_valid=ov, in_coords=coords,
-               in_valid=valid)
+               in_valid=valid, sorted_out=True)
     out = sparse_conv_apply_batched(feats, nbr, weights, bias, rev=rev)
     return oc, ov, jnp.where(ov[..., None], out, 0.0)
 
 
 def sparse_max_pool_batched(coords, valid, feats, stride=2, kernel_size=2,
-                            max_out=None, tensor_stride=1):
+                            max_out=None, tensor_stride=1,
+                            sorted_input=False):
     """Batched ``sparse_max_pool`` (flattened feature gathers)."""
     max_out = max_out or coords.shape[1]
     offs = kernel_offsets(kernel_size)
@@ -601,7 +638,8 @@ def sparse_max_pool_batched(coords, valid, feats, stride=2, kernel_size=2,
     oc, ov = jax.vmap(lambda c, v: downsample_coords(
         c, v, stride * tensor_stride, max_out))(coords, valid)
     nbr = neighbor_table_batched(coords, valid, oc, ov, offs,
-                                 in_stride=tensor_stride)
+                                 in_stride=tensor_stride,
+                                 sorted_input=sorted_input)
     b, m, c = feats.shape
     flat = feats.reshape(b * m, c)
     base = (jnp.arange(b, dtype=jnp.int32) * m)[:, None]
@@ -652,7 +690,8 @@ def transposed_conv_to(coords_fine, valid_fine, coords_coarse,
 def transposed_conv_to_batched(coords_fine, valid_fine, coords_coarse,
                                valid_coarse, feats_coarse, weights,
                                bias=None, stride=2, kernel_size=2,
-                               tensor_stride=1):
+                               tensor_stride=1, sorted_input=False,
+                               sorted_fine=False):
     """Batched ``transposed_conv_to`` with a scatter-free VJP.
 
     Key identity: the transposed conv's per-fine-row read IS a
@@ -665,7 +704,8 @@ def transposed_conv_to_batched(coords_fine, valid_fine, coords_coarse,
     """
     cs = stride * tensor_stride
     parent = coords_fine // cs * cs
-    sk, od = jax.vmap(build_key_table)(coords_coarse, valid_coarse)
+    table_fn = key_table_presorted if sorted_input else build_key_table
+    sk, od = jax.vmap(table_fn)(coords_coarse, valid_coarse)
     packed = jax.vmap(_bucketed_table)(sk, od)
     prow = _lookup_bucketed_batched(packed, parent, valid_fine)
     off = (coords_fine - parent) // tensor_stride         # (B, Mf, 3)
@@ -678,7 +718,8 @@ def transposed_conv_to_batched(coords_fine, valid_fine, coords_coarse,
         prow[..., None], -1)                              # (B, Mf, K)
     rev = dict(kernel_size=kernel_size, in_stride=tensor_stride,
                rev_sign=+1, out_coords=coords_fine, out_valid=valid_fine,
-               in_coords=coords_coarse, in_valid=valid_coarse)
+               in_coords=coords_coarse, in_valid=valid_coarse,
+               sorted_out=sorted_fine)
     out = sparse_conv_apply_batched(feats_coarse, tnbr, weights, bias,
                                     rev=rev)
     return jnp.where(valid_fine[..., None], out, 0.0)

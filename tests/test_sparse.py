@@ -355,3 +355,70 @@ def test_zrun_lookup_matches_per_tap():
     ref = jnp.stack([S._lookup_bucketed_batched(
         packed, c + offs[t][None, None], v) for t in range(27)], -1)
     assert bool(jnp.all(fast == ref))
+
+
+def test_sorted_input_table_invariant_and_parity():
+    """The model path asserts ``sorted_input=True`` everywhere: voxelize
+    and downsample_coords must emit key-sorted valid-prefix tables, the
+    presorted key table must equal build_key_table's, and the whole
+    MinkResNet-style chain (strided conv -> pool -> submanifold table ->
+    transposed conv, incl. gradients through the sorted reverse tables)
+    must match the argsort path bit-for-bit."""
+    rng = np.random.RandomState(11)
+    b, n, cap = 2, 600, 256
+    pts = rng.rand(b, n, 3).astype(np.float32) * 2 - 1
+    feats = rng.randn(b, n, 4).astype(np.float32)
+    vox = jax.vmap(lambda p, f: S.voxelize(
+        p, f, 0.2, jnp.asarray([-1., -1., -1.]), cap))
+    coords, vfeats, valid = vox(jnp.asarray(pts), jnp.asarray(feats))
+
+    # invariant: sorted keys, valid prefix — for voxelize output and for
+    # every downsample level derived from it
+    def check_sorted(c, v):
+        c, v = np.asarray(c), np.asarray(v)
+        for i in range(c.shape[0]):
+            nv = int(v[i].sum())
+            assert v[i, :nv].all() and not v[i, nv:].any()
+            keys = np.asarray(S.linearize(jnp.asarray(c[i, :nv])))
+            assert (np.diff(keys) > 0).all()
+
+    check_sorted(coords, valid)
+    oc, ov = jax.vmap(lambda c, v: S.downsample_coords(c, v, 2, cap))(
+        coords, valid)
+    check_sorted(oc, ov)
+
+    sk_ref, od_ref = jax.vmap(S.build_key_table)(coords, valid)
+    sk_fast, od_fast = jax.vmap(S.key_table_presorted)(coords, valid)
+    assert bool(jnp.all(sk_ref == sk_fast))
+    assert bool(jnp.all(od_ref == od_fast))
+
+    offs = S.kernel_offsets(3)
+    t_ref = S.neighbor_table_batched(coords, valid, oc, ov, offs,
+                                     in_stride=1)
+    t_fast = S.neighbor_table_batched(coords, valid, oc, ov, offs,
+                                      in_stride=1, sorted_input=True)
+    assert bool(jnp.all(t_ref == t_fast))
+
+    # full chain incl. gradients through sorted reverse tables
+    w1 = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32) * 0.2)
+    wt = jnp.asarray(rng.randn(8, 8, 8).astype(np.float32) * 0.2)
+
+    def chain(f, sorted_input):
+        c1, v1, y = S.strided_conv_batched(
+            coords, valid, f, w1, stride=2, kernel_size=3,
+            max_out=cap // 2, sorted_input=sorted_input)
+        y = S.submanifold_conv_batched(c1, v1, y, w2, tensor_stride=2,
+                                       sorted_input=sorted_input)
+        c2, v2, y2 = S.sparse_max_pool_batched(
+            c1, v1, y, max_out=cap // 4, tensor_stride=2,
+            sorted_input=sorted_input)
+        up = S.transposed_conv_to_batched(
+            c1, v1, c2, v2, y2, wt, tensor_stride=2,
+            sorted_input=sorted_input, sorted_fine=sorted_input)
+        return jnp.sum((y + up) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(lambda f: chain(f, False))(vfeats)
+    l_fast, g_fast = jax.value_and_grad(lambda f: chain(f, True))(vfeats)
+    assert float(l_ref) == float(l_fast)
+    assert bool(jnp.all(g_ref == g_fast))

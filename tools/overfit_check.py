@@ -196,7 +196,7 @@ def pretrain_2d_branch(model, variables, ds, batch_size, max_gt, steps,
 
 
 def main(steps=200, batch_size=16, model_kind='votenet',
-         ball_query=None, steps_2d=300):
+         ball_query=None, steps_2d=300, scenes=32, gen_eval=False):
     import jax
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
@@ -214,9 +214,21 @@ def main(steps=200, batch_size=16, model_kind='votenet',
         print(f'ball query mode: {ball_query}', flush=True)
 
     max_gt = 16
-    ds = build_dataset(dict(type='SyntheticSUNRGBD', num_scenes=32,
+    ds = build_dataset(dict(type='SyntheticSUNRGBD', num_scenes=scenes,
                             num_raw_points=24000, max_boxes=6,
                             pipeline=pipeline, seed=7, **ds_kwargs))
+    # --gen-eval: evaluate on FRESH scenes from the same generator
+    # (seed 13).  Box labels are geometry-independent in the synthetic
+    # regime, so on unseen scenes a PC-only model cannot classify above
+    # chance while the fusion path can read the class-colored rendered
+    # boxes — the regime VERDICT r3 item 9 asks for, where the fusion
+    # ablation has real headroom instead of being masked by train-set
+    # memorization.
+    eval_ds = ds
+    if gen_eval:
+        eval_ds = build_dataset(dict(
+            type='SyntheticSUNRGBD', num_scenes=32, num_raw_points=24000,
+            max_boxes=6, pipeline=pipeline, seed=13, **ds_kwargs))
     loader = build_dataloader(ds, samples_per_gpu=batch_size, shuffle=True,
                               max_gt=max_gt)
 
@@ -273,11 +285,11 @@ def main(steps=200, batch_size=16, model_kind='votenet',
 
         def run(state):
             results = []
-            n = len(ds)
+            n = len(eval_ds)
             for start in range(0, n, batch_size):
                 idx = list(range(start, min(start + batch_size, n)))
                 pad = batch_size - len(idx)
-                samples = [ds[i] for i in idx] + [ds[idx[-1]]] * pad
+                samples = [eval_ds[i] for i in idx] + [eval_ds[idx[-1]]] * pad
                 batch = collate_fixed(samples, max_gt=max_gt)
                 det = jax.device_get(
                     step(state.params, state.batch_stats, batch))
@@ -287,7 +299,7 @@ def main(steps=200, batch_size=16, model_kind='votenet',
                         boxes_3d=np.asarray(det['boxes_3d'][k][v]),
                         scores_3d=np.asarray(det['scores_3d'][k][v]),
                         labels_3d=np.asarray(det['labels_3d'][k][v])))
-            return ds.evaluate(results, iou_thr=(0.25,))['mAP_0.25']
+            return eval_ds.evaluate(results, iou_thr=(0.25,))['mAP_0.25']
 
         return run
 
@@ -345,12 +357,14 @@ def main(steps=200, batch_size=16, model_kind='votenet',
         m = fn(state)
         print(f'ablation {name}: mAP@0.25 {m:.4f}', flush=True)
         ablations[name] = m
-    assert map_after > map_before + 0.1, 'model failed to learn'
+    if not gen_eval:
+        assert map_after > map_before + 0.1, 'model failed to learn'
     if model_kind == 'demf':
         assert map_after > ablations['stage0_only'], \
             'fusion stage did not improve over the PC-only stage-0 head'
     if model_kind == 'demf_fcaf3d':
-        assert map_after > ablations['base_levels_only'], \
+        margin = 0.03 if gen_eval else 0.0
+        assert map_after > ablations['base_levels_only'] + margin, \
             'fusion stages did not improve over the base FCAF3D levels'
     if model_kind == 'imvotenet':
         assert map_after > ablations['pts_only'], \
@@ -374,5 +388,8 @@ if __name__ == '__main__':
     s2d = 300
     if '--steps-2d' in sys.argv:
         s2d = int(sys.argv[sys.argv.index('--steps-2d') + 1])
+    scenes = 32
+    if '--scenes' in sys.argv:
+        scenes = int(sys.argv[sys.argv.index('--scenes') + 1])
     main(steps=steps, batch_size=bs, model_kind=kind, ball_query=bq,
-         steps_2d=s2d)
+         steps_2d=s2d, scenes=scenes, gen_eval='--gen-eval' in sys.argv)

@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 def main(batch_size=8, do_trace=False, max_voxels=16384, num_points=20000):
     import jax
     import jax.numpy as jnp
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+    except Exception:
+        pass
     import demf_tpu.models  # noqa: F401
     from demf_tpu.engine import (build_optimizer, create_train_state,
                                  make_train_step)
