@@ -170,8 +170,7 @@ def _lookup_bucketed(packed, query_coords, query_valid):
     rows = packed[bucket]                                 # (Q, 2, W)
     eq = rows[:, 0, :] == qkeys[:, None]
     hit = eq.any(1) & query_valid
-    idx = jnp.argmax(eq, 1)
-    res = jnp.take_along_axis(rows[:, 1, :], idx[:, None], 1)[:, 0]
+    res = jnp.sum(jnp.where(eq, rows[:, 1, :], 0), axis=1)
     return jnp.where(hit, res, -1)
 
 
@@ -258,8 +257,14 @@ def _lookup_zrun_batched(lines, pivots, center_coords, query_valid,
             ok = vq & (zc + ts <= MAX_COORD)
         eq = keys == (qkf + dz * ts)[:, None]
         hit = eq.any(1) & ok
-        idx = jnp.argmax(eq, 1)
-        res = jnp.take_along_axis(vals, idx[:, None], 1)[:, 0]
+        # At most one line key can match (real keys are unique and the
+        # INT32_MAX pad sentinel exceeds every clamped query key, whose
+        # max is _SPAN**3 - 1 < 2**31 - 1), so a masked sum IS the
+        # matched row index — replacing argmax + within-row gather with
+        # one reduce pass over the gathered lines (xplane: the
+        # eq/argmax/take fusions were ~18 of the stem table's 35 ms at
+        # b8/16k; the line gathers themselves only ~6 ms).
+        res = jnp.sum(jnp.where(eq, vals, 0), axis=1)
         out.append(jnp.where(hit, res, -1).reshape(b, q))
     return out
 
@@ -308,8 +313,8 @@ def _lookup_bucketed_batched(packed, query_coords, query_valid):
     rows = packed.reshape(b * nb, 2, w)[fb.reshape(-1)]   # (B*Q, 2, W)
     eq = rows[:, 0, :] == qk.reshape(-1)[:, None]
     hit = eq.any(1) & query_valid.reshape(-1)
-    idx = jnp.argmax(eq, 1)
-    res = jnp.take_along_axis(rows[:, 1, :], idx[:, None], 1)[:, 0]
+    # masked sum = the unique matched row (see _lookup_zrun_batched)
+    res = jnp.sum(jnp.where(eq, rows[:, 1, :], 0), axis=1)
     return jnp.where(hit, res, -1).reshape(qk.shape)
 
 

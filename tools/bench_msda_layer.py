@@ -1205,8 +1205,148 @@ def main14():
               f'{rows / t / 1e6:7.1f} M rows/s', flush=True)
 
 
+def main18():
+    """Forward core, round 4: kill the weighting stage's traffic above
+    the gather floor (scan core ~146 ms vs gather-only ~88 ms at b16).
+
+    Hypothesis: the repeat(w4, HD) + astype(f32) in the mul+reduce form
+    materializes extra (S, C)-sized temporaries.  The slot-slice form
+    reads rows' lane groups [s*hd:(s+1)*hd] directly, multiplies by a
+    Q-minor per-slot weight (no repeat, no fold matmul — the fold IS the
+    slot loop), and reduces over LP in one fusion; the Pallas variant
+    does the same with an explicit VMEM accumulator."""
+    LP = NLV * NPTS
+    plane, idx, w4 = make_inputs()
+    # Q-minor slot-major weights (what _geometry emits before the final
+    # stack-to-(S,4); using this layout in the op would also skip that
+    # transpose)
+    w4t_f32 = jnp.transpose(w4.reshape(BH, LP, Q, 4),
+                            (0, 1, 3, 2)).astype(jnp.float32)
+    w4t_bf16 = w4t_f32.astype(jnp.bfloat16)
+    jax.block_until_ready((w4t_f32, w4t_bf16))
+
+    @jax.jit
+    def gather_only(plane, idx, w4):
+        def body(_, xs):
+            p, i, _w = xs
+            rows = jax.lax.optimization_barrier(p[i])
+            return None, jnp.sum(rows.astype(jnp.float32), axis=0)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    @jax.jit
+    def mul_reduce_lp(plane, idx, w4):
+        fold = fold_matrix(4, HD, jnp.bfloat16)
+
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wfull = jnp.repeat(w.reshape(LP, Q, 4), HD, axis=-1)
+            part = jnp.sum((rows * wfull).astype(jnp.float32), axis=0)
+            out = jax.lax.dot_general(
+                part.astype(jnp.bfloat16), fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    def make_slot_slice(wdt):
+        @jax.jit
+        def slot_slice(plane, idx, w4t):
+            def body(_, xs):
+                p, i, w = xs                     # w (LP, 4, Q)
+                rows = jax.lax.optimization_barrier(
+                    p[i]).reshape(LP, Q, C)
+                acc = None
+                for s in range(4):
+                    term = (rows[:, :, s * HD:(s + 1) * HD]
+                            .astype(jnp.float32) *
+                            w[:, s, :, None].astype(jnp.float32))
+                    acc = term if acc is None else acc + term
+                out = jnp.sum(acc, axis=0)       # (Q, HD) f32
+                return None, out.astype(jnp.bfloat16)
+            _, out = jax.lax.scan(body, None, (plane, idx, w4t))
+            return out
+        return slot_slice
+
+    def pallas_fold():
+        from jax.experimental import pallas as pl
+        QT = 512
+        nq = Q // QT
+
+        def kern(rows_ref, w_ref, out_ref):
+            lp = pl.program_id(1)
+            r = rows_ref[0]                      # (QT, C) bf16
+            w = w_ref[0]                         # (4, QT) f32
+            acc = None
+            for s in range(4):
+                term = (r[:, s * HD:(s + 1) * HD].astype(jnp.float32) *
+                        w[s, :][:, None])
+                acc = term if acc is None else acc + term
+
+            @pl.when(lp == 0)
+            def _init():
+                out_ref[...] = acc
+
+            @pl.when(lp > 0)
+            def _acc():
+                out_ref[...] += acc
+
+        fold1 = pl.pallas_call(
+            kern,
+            grid=(nq, LP),
+            in_specs=[
+                pl.BlockSpec((1, QT, C), lambda qi, lp: (lp, qi, 0)),
+                pl.BlockSpec((1, 4, QT), lambda qi, lp: (lp, 0, qi)),
+            ],
+            out_specs=pl.BlockSpec((QT, HD), lambda qi, lp: (qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((Q, HD), jnp.float32),
+        )
+
+        @jax.jit
+        def pallas_form(plane, idx, w4t):
+            def body(_, xs):
+                p, i, w = xs
+                rows = jax.lax.optimization_barrier(
+                    p[i]).reshape(LP, Q, C)
+                return None, fold1(rows, w).astype(jnp.bfloat16)
+            _, out = jax.lax.scan(body, None, (plane, idx, w4t))
+            return out
+        return pallas_form
+
+    rows_n = BH * S
+    cases = [('gather-only floor', gather_only, w4),
+             ('mul+reduce (current)', mul_reduce_lp, w4),
+             ('slot-slice f32 w4t', make_slot_slice('f32'), w4t_f32),
+             ('slot-slice bf16 w4t', make_slot_slice('bf16'), w4t_bf16)]
+    try:
+        cases.append(('pallas fold f32 w4t', pallas_fold(), w4t_f32))
+    except Exception as e:
+        print(f'pallas variant skipped: {type(e).__name__}: {e}',
+              flush=True)
+    ref = None
+    for label, fn, w_in in cases:
+        try:
+            t = timeit(fn, plane, idx, w_in, iters=3)
+        except Exception as e:
+            print(f'{label:<27} FAILED: {type(e).__name__}: '
+                  f'{str(e)[:120]}', flush=True)
+            continue
+        print(f'{label:<27} {t * 1e3:8.1f} ms  '
+              f'{rows_n / t / 1e6:7.1f} M rows/s', flush=True)
+        if label.startswith('mul+reduce'):
+            ref = fn(plane, idx, w_in)
+        elif ref is not None and not label.startswith('gather'):
+            got = fn(plane, idx, w_in)
+            err = float(jnp.max(jnp.abs(
+                got.astype(jnp.float32) - ref.astype(jnp.float32))))
+            print(f'  max|diff| vs current: {err:.2e}', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v17' in sys.argv:
+    if '--v18' in sys.argv:
+        main18()
+    elif '--v17' in sys.argv:
         main17()
     elif '--v16' in sys.argv:
         main16()
