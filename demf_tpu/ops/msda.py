@@ -41,9 +41,11 @@ Design (v5e-measured, rounds 2-3):
     dot products, and accumulates d_value with ONE quad-layout
     scatter-add per sample (R=128 scatter measured ~55M rows/s vs ~10M
     at R=32) followed by a cheap shift-fold back to the pixel grid.
-  * per-slice temporaries (one (S, 4hd) row buffer per (b, h)) are
-    allocated once by the scan, so encoder-scale calls stay bounded
-    without explicit query chunking.
+  * encoder-scale forwards walk queries in ~2816-query chunks inside
+    the per-slice scan: the per-chunk rows buffer (~11 MB) stays
+    VMEM-resident into the weighting consumer instead of round-tripping
+    the full (S, 4hd) 92 MB slice buffer through HBM (scan core
+    146 -> 105 ms/layer at b16, bit-exact; bench --v19).
 
 Measured (v5e-1, batch 16, reference encoder shapes, 8 heads x 4 levels
 x 4 points): forward 2.9 s -> ~0.9 s; backward OOM -> ~1.7 s.
@@ -442,7 +444,7 @@ def _fold_quad_grad(dquad, h, w, hd):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_msda(spatial_shapes, gather_dtype_name):
+def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
     gather_dtype = jnp.dtype(gather_dtype_name)
     compute_dtype = gather_dtype
     nlv = len(spatial_shapes)
@@ -465,25 +467,65 @@ def _make_msda(spatial_shapes, gather_dtype_name):
         b, _, heads, hd = value.shape
         q = locs.shape[1]
         npts = locs.shape[4]
+        lp = nlv * npts
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
         plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
         geo = _geometry(spatial_shapes, locs)
-        idx = geo['idx'].reshape(b * heads, q * nlv * npts)
         aw_t = _aw_lpq(aw)                                # (B,h,L,P,Q)
         # per-slot weight * attention in the unpadded Q-minor layout,
         # stacked slot-minor only at the very end
         w4 = jnp.stack(
             [(w * aw_t).astype(compute_dtype) for w in geo['ws']],
-            axis=-1).reshape(b * heads, q * nlv * npts, 4)
+            axis=-1)                                      # (B,h,L,P,Q,4)
 
-        def body(_, xs):
-            p_s, idx_s, w4_s = xs
-            out = _slice_forward(p_s, idx_s, w4_s, q, hd, nlv, npts,
-                                 compute_dtype)
-            return None, out.astype(value.dtype)
+        if q > 2 * query_chunk:
+            # Query-chunked nested scan: the per-chunk rows buffer
+            # (LP*QC*4hd, ~11 MB at QC=2816) stays VMEM-resident into
+            # the weighting consumer instead of round-tripping the full
+            # (S, 4hd) 92 MB slice buffer through HBM — scan core
+            # 146 -> 105 ms/layer at b16 encoder shapes, bit-exact
+            # (tools/bench_msda_layer.py --v19).  Padded queries gather
+            # row 0 with weight 0 and are sliced off.
+            qc = query_chunk
+            nq = -(-q // qc)
+            qp = nq * qc
+            idx6 = geo['idx'].reshape(b, heads, lp, q)
+            idx6 = jnp.pad(idx6, ((0, 0),) * 3 + ((0, qp - q),))
+            idxc = jnp.transpose(
+                idx6.reshape(b, heads, lp, nq, qc), (0, 1, 3, 2, 4))
+            idxc = idxc.reshape(b * heads, nq, lp * qc)
+            w4p = jnp.pad(w4.reshape(b, heads, lp, q, 4),
+                          ((0, 0),) * 3 + ((0, qp - q), (0, 0)))
+            w4c = jnp.transpose(
+                w4p.reshape(b, heads, lp, nq, qc, 4), (0, 1, 3, 2, 4, 5))
+            w4c = w4c.reshape(b * heads, nq, lp * qc, 4)
 
-        _, outs = jax.lax.scan(body, None, (plane, idx, w4))
-        out = outs.reshape(b, heads, q, hd)
+            def body(_, xs):
+                p_s, idx_s, w4_s = xs
+
+                def inner(_, ys):
+                    i_c, w_c = ys
+                    o = _slice_forward(p_s, i_c, w_c, qc, hd, nlv,
+                                       npts, compute_dtype)
+                    return None, o.astype(value.dtype)
+
+                _, o = jax.lax.scan(inner, None, (idx_s, w4_s))
+                return None, o.reshape(nq * qc, hd)
+
+            _, outs = jax.lax.scan(body, None, (plane, idxc, w4c))
+            out = outs.reshape(b, heads, qp, hd)[:, :, :q]
+        else:
+            idx = geo['idx'].reshape(b * heads, q * lp)
+            w4f = w4.reshape(b * heads, q * lp, 4)
+
+            def body(_, xs):
+                p_s, idx_s, w4_s = xs
+                o = _slice_forward(p_s, idx_s, w4_s, q, hd, nlv, npts,
+                                   compute_dtype)
+                return None, o.astype(value.dtype)
+
+            _, outs = jax.lax.scan(body, None, (plane, idx, w4f))
+            out = outs.reshape(b, heads, q, hd)
         out = jnp.moveaxis(out, 1, 2).reshape(b, q, heads * hd)
         return out.astype(value.dtype), (value, locs, aw)
 
@@ -541,7 +583,7 @@ def _make_msda(spatial_shapes, gather_dtype_name):
 
 def multi_scale_deformable_attention(value, spatial_shapes,
                                      sampling_locations, attention_weights,
-                                     query_chunk=2048, gather_dtype=None):
+                                     query_chunk=2816, gather_dtype=None):
     """Core MSDA sampling + weighted reduction (quad-fused, custom VJP).
 
     Args:
@@ -549,9 +591,12 @@ def multi_scale_deformable_attention(value, spatial_shapes,
         spatial_shapes: static tuple of (h, w) per level.
         sampling_locations: (B, Q, heads, levels, points, 2) in [0, 1].
         attention_weights: (B, Q, heads, levels, points), normalized.
-        query_chunk: accepted for API compatibility; the scan-over-slice
-            formulation bounds temporaries per (b, h) slice, so query
-            chunking is no longer used.
+        query_chunk: forward scan inner-chunk size; queries are walked
+            in QC-sized blocks so the gathered rows buffer stays
+            VMEM-resident into the weighting (active when
+            Q > 2*query_chunk; the default 2816 puts the per-chunk
+            buffer at ~11 MB, the measured v5e sweet spot and an exact
+            8-chunk fit for the reference's 22323-query encoder).
         gather_dtype: dtype of the packed quad planes (defaults to bf16
             for f32 inputs -- halves gather traffic; pass jnp.float32 for
             bit-exact oracle comparisons).
@@ -578,5 +623,6 @@ def multi_scale_deformable_attention(value, spatial_shapes,
     if q * nlv * npts * 8 < sum_hw:
         return _small_q_msda(value, shapes_t, sampling_locations,
                              attention_weights, gather_dtype)
-    fn = _make_msda(shapes_t, jnp.dtype(gather_dtype).name)
+    fn = _make_msda(shapes_t, jnp.dtype(gather_dtype).name,
+                    int(query_chunk))
     return fn(value, sampling_locations, attention_weights)

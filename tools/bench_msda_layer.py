@@ -1343,8 +1343,170 @@ def main18():
             print(f'  max|diff| vs current: {err:.2e}', flush=True)
 
 
+def main19():
+    """Forward core, round 4b: query-chunked nested scan.
+
+    The mul+reduce pass above the gather floor costs ~54 ms (main18):
+    the per-slice rows buffer is S*256B = 92 MB, so the weighting
+    re-reads it from HBM.  Chunking Q into QC-query blocks makes the
+    per-chunk rows buffer LP*QC*256B (4-8 MB) — small enough that the
+    gather output stays VMEM-resident into the weighting consumer.
+    Outer scan over (b, h) slices keeps the 5.7 MB plane resident;
+    inner scan walks the chunks."""
+    LP = NLV * NPTS
+    plane, idx, w4 = make_inputs()
+    rows_n = BH * S
+    fold = fold_matrix(4, HD, jnp.bfloat16)
+
+    @jax.jit
+    def current(plane, idx, w4):
+        def body(_, xs):
+            p, i, w = xs
+            rows = jax.lax.optimization_barrier(p[i]).reshape(LP, Q, C)
+            wfull = jnp.repeat(w.reshape(LP, Q, 4), HD, axis=-1)
+            part = jnp.sum((rows * wfull).astype(jnp.float32), axis=0)
+            out = jax.lax.dot_general(
+                part.astype(jnp.bfloat16), fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return None, out.astype(jnp.bfloat16)
+        _, out = jax.lax.scan(body, None, (plane, idx, w4))
+        return out
+
+    def chunk_inputs(qc):
+        nq = Q // qc
+        # lp-major (BH, LP*Q) -> chunk-major (BH, NQ, LP*QC); in the
+        # real op _geometry can emit this layout directly (Q is already
+        # the minor axis there)
+        ic = jnp.transpose(idx.reshape(BH, LP, nq, qc), (0, 2, 1, 3))
+        ic = ic.reshape(BH, nq, LP * qc)
+        wc = jnp.transpose(w4.reshape(BH, LP, nq, qc, 4), (0, 2, 1, 3, 4))
+        wc = wc.reshape(BH, nq, LP * qc, 4)
+        jax.block_until_ready((ic, wc))
+        return ic, wc
+
+    def make_chunked(qc, barrier=True):
+        nq = Q // qc
+
+        @jax.jit
+        def chunked(plane, ic, wc):
+            def outer(_, xs):
+                p, i_s, w_s = xs                  # (NQ, LP*QC[, 4])
+
+                def inner(_, ys):
+                    i_c, w_c = ys
+                    rows = p[i_c]                 # (LP*QC, C)
+                    if barrier:
+                        rows = jax.lax.optimization_barrier(rows)
+                    rows3 = rows.reshape(LP, qc, C)
+                    wfull = jnp.repeat(w_c.reshape(LP, qc, 4), HD,
+                                       axis=-1)
+                    part = jnp.sum((rows3 * wfull).astype(jnp.float32),
+                                   axis=0)
+                    out = jax.lax.dot_general(
+                        part.astype(jnp.bfloat16), fold,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return None, out.astype(jnp.bfloat16)
+
+                _, o = jax.lax.scan(inner, None, (i_s, w_s))
+                return None, o.reshape(nq * qc, HD)
+            _, out = jax.lax.scan(outer, None, (plane, ic, wc))
+            return out
+        return chunked
+
+    t = timeit(current, plane, idx, w4, iters=3)
+    print(f'current (unchunked)        {t * 1e3:8.1f} ms  '
+          f'{rows_n / t / 1e6:7.1f} M rows/s', flush=True)
+    ref = current(plane, idx, w4)
+
+    for qc in (2048, 2816, 5632):
+        ic, wc = chunk_inputs(qc)
+        for barrier in (True,):
+            fn = make_chunked(qc, barrier)
+            label = f'chunk {qc}{"" if barrier else " nobar"}'
+            try:
+                t = timeit(fn, plane, ic, wc, iters=3)
+            except Exception as e:
+                print(f'{label:<27}FAILED: {type(e).__name__}: '
+                      f'{str(e)[:100]}', flush=True)
+                continue
+            got = fn(plane, ic, wc)
+            nq = Q // qc
+            gotr = got.reshape(BH, nq, qc, HD)
+            refr = ref.reshape(BH, nq, qc, HD)
+            err = float(jnp.max(jnp.abs(
+                gotr.astype(jnp.float32) - refr.astype(jnp.float32))))
+            print(f'{label:<27}{t * 1e3:8.1f} ms  '
+                  f'{rows_n / t / 1e6:7.1f} M rows/s  '
+                  f'max|diff| {err:.2e}', flush=True)
+
+
+def main20():
+    """Backward d_value, round 4: WIDENED scatter for the fine level.
+
+    The R=128 quad scatter is issue-rate bound (~55 M rows/s; R=32 ran
+    ~10 M, so the per-row issue cost dominates, not traffic).  Packing
+    k samples' updates into one (k*128)-wide row — sample with target n
+    writes channel block n % k of accumulator row n // k — divides the
+    row count by k for k x traffic.  Shapes = DETR-pretrain fine level
+    at b4: S_l = 4*22528 samples/slice, 32 slices, N = 16800 rows."""
+    b4_bh = 32
+    sl = 4 * Q                       # fine-level samples per slice
+    n_l = 16800
+    c = 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    idx = jax.random.randint(ks[0], (b4_bh, sl), 0, n_l, jnp.int32)
+    upd = jax.random.normal(ks[1], (b4_bh, sl, c), jnp.bfloat16)
+    jax.block_until_ready((idx, upd))
+    rows_n = b4_bh * sl
+
+    def make_scatter(k):
+        npad = -(-n_l // k) * k
+
+        @jax.jit
+        def scat(idx, upd):
+            def body(_, xs):
+                i, u = xs
+                if k == 1:
+                    d = jnp.zeros((npad, c), jnp.float32).at[i].add(
+                        u.astype(jnp.float32))
+                    return None, d
+                blk = i % k                      # (SL,)
+                row = i // k
+                # place u into channel block blk of a (SL, k*c) row
+                sel = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                       == blk[:, None])          # (SL, k)
+                uw = (sel[:, :, None].astype(upd.dtype)
+                      * u[:, None, :]).reshape(sl, k * c)
+                uw = jax.lax.optimization_barrier(uw)
+                d = jnp.zeros((npad // k, k * c), jnp.float32).at[row].add(
+                    uw.astype(jnp.float32))
+                return None, d.reshape(npad, c)
+            _, out = jax.lax.scan(body, None, (idx, upd))
+            return out
+        return scat
+
+    ref = None
+    for k in (1, 2, 4, 8):
+        fn = make_scatter(k)
+        t = timeit(fn, idx, upd, iters=3)
+        got = fn(idx, upd)
+        if ref is None:
+            ref = got
+            err = 0.0
+        else:
+            err = float(jnp.max(jnp.abs(got[:, :n_l] - ref[:, :n_l])))
+        print(f'scatter R={k * c:<5} {t * 1e3:8.1f} ms  '
+              f'{rows_n / k / t / 1e6:7.1f} M rows/s  '
+              f'max|diff| {err:.2e}', flush=True)
+
+
 if __name__ == '__main__':
-    if '--v18' in sys.argv:
+    if '--v20' in sys.argv:
+        main20()
+    elif '--v19' in sys.argv:
+        main19()
+    elif '--v18' in sys.argv:
         main18()
     elif '--v17' in sys.argv:
         main17()
