@@ -351,6 +351,10 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
                 fx = os.path.join(os.path.dirname(__file__), 'tests',
                                   'fixtures', 'sunrgbd_mini')
                 n_batches = 3
+                # thread-per-worker pipelining only helps with spare
+                # cores; on a 1-core host 4 workers measured 2.7x SLOWER
+                # than 1 (GIL + numpy contention)
+                n_workers = min(4, os.cpu_count() or 1)
 
                 def _loader_rate(pl, collate_fn=None, workers=0):
                     ds = build_dataset(dict(
@@ -376,7 +380,8 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
                     return round(n_batches * batch_size /
                                  (time.perf_counter() - t0), 3)
 
-                extras['loader_host'] = _loader_rate(pipeline, workers=4)
+                extras['loader_host'] = _loader_rate(pipeline,
+                                                     workers=n_workers)
                 if 'value' in result and result['value']:
                     extras['e2e_overlapped'] = round(
                         min(result['value'], extras['loader_host']), 3)
@@ -391,7 +396,7 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
                 host_load, collate_raw, _df, _sp = build_device_pipeline(
                     raw_cfg, points_cap=num_points, max_gt=64)
                 extras['loader_raw'] = _loader_rate(
-                    [host_load], collate_fn=collate_raw, workers=4)
+                    [host_load], collate_fn=collate_raw, workers=n_workers)
                 if 'demf_devpipe' in extras:
                     extras['e2e_device'] = round(
                         min(extras['demf_devpipe'], extras['loader_raw']),
