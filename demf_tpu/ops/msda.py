@@ -246,6 +246,14 @@ def _g4_tile(g_s, q, hd, nlv, npts, dtype):
     return jnp.tile(g_s.astype(dtype), (nlv * npts, 4))
 
 
+def _acc_rows(n_l):
+    """Carry rows for one level's chunked-backward accumulator (padded
+    to a _SCATTER_WIDEN_K multiple on widened scatter levels)."""
+    if n_l > _ONEHOT_SCATTER_MAX_ROWS and _SCATTER_WIDEN_K > 1:
+        return -(-n_l // _SCATTER_WIDEN_K) * _SCATTER_WIDEN_K
+    return n_l
+
+
 # one-hot-matmul threshold for the d_value accumulation: a level with
 # N_l rows costs ~2*S_l*N_l*128 MXU FLOPs as a matmul vs ~S_l/1e8 s as a
 # scatter; the crossover on v5e sits at N_l ~4k.  At reference encoder
@@ -256,17 +264,28 @@ def _g4_tile(g_s, q, hd, nlv, npts, dtype):
 # the split).
 _ONEHOT_SCATTER_MAX_ROWS = 4608
 
+# Widened scatter for the remaining (fine) scatter levels: pack k
+# samples' updates into one (k*4hd)-wide accumulator row (target row n
+# -> row n//k, channel block n%k), dividing the issue-rate-bound
+# scatter row count by k for k x traffic + a one-hot block-select on
+# the VPU.  0/1 = off; tuned via tools/bench_msda_layer.py --v20.
+_SCATTER_WIDEN_K = int(os.environ.get('DEMF_TPU_MSDA_WIDEN_K', '0') or 0)
+
 
 def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
-                    compute_dtype, level_sizes):
-    """Backward for one (b, h) slice.
+                    compute_dtype, level_sizes, accs=None):
+    """Backward for one (b, h) slice (or one query chunk of one).
 
     w4geo_s: (S, 4) bilinear slot weights (geometry only, no attn).
     aw_s: (S,) attention weights.  g_s: (q, hd) f32 upstream grad.
     level_sizes: static per-level row counts (sum = N); the sample axis
     is lp-major so level l's samples are the contiguous chunk
     [l*npts*q, (l+1)*npts*q).
-    Returns (dplane_s (N, 4hd) f32, d_aw (S,), D (S, 4) per-slot dots).
+    accs: optional tuple of per-level (N_l, 4hd) f32 accumulators (the
+    query-chunked scan carry); when given, returns the UPDATED tuple in
+    place of the concatenated plane — scatter levels add in place on
+    the carry instead of materializing a fresh dense plane per chunk.
+    Returns (dplane_s (N, 4hd) f32 | accs tuple, d_aw (S,), D (S, 4)).
 
     The upstream grad enters BOTH branches (per-slot dots and the
     scatter update) as a small (q, 4*hd) slot-tile broadcast along the
@@ -322,11 +341,34 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
                 oh, ul, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_precision(compute_dtype))
+            if accs is not None:
+                d = accs[lvl] + d
         else:
-            d = jnp.zeros((n_l, 4 * hd), jnp.float32).at[il].add(
-                ul.astype(jnp.float32))
+            k = _SCATTER_WIDEN_K
+            if k > 1:
+                # (npad//k, k*4hd) is the same row-major layout as
+                # (npad, 4hd), so the widened view is a free bitcast of
+                # the accumulator
+                npad = -(-n_l // k) * k
+                base = (jnp.zeros((npad, 4 * hd), jnp.float32)
+                        if accs is None else accs[lvl])
+                sel = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                       == (il % k)[:, None]).astype(ul.dtype)
+                uw = (sel[:, :, None] * ul[:, None, :]).reshape(
+                    ul.shape[0], k * 4 * hd)
+                uw = jax.lax.optimization_barrier(uw)
+                d = base.reshape(npad // k, k * 4 * hd).at[il // k].add(
+                    uw.astype(jnp.float32)).reshape(npad, 4 * hd)
+                if accs is None:
+                    d = d[:n_l]
+            else:
+                base = (jnp.zeros((n_l, 4 * hd), jnp.float32)
+                        if accs is None else accs[lvl])
+                d = base.at[il].add(ul.astype(jnp.float32))
         parts.append(d)
         start += n_l
+    if accs is not None:
+        return tuple(parts), d_aw, D
     dplane = jnp.concatenate(parts, axis=0)
     return dplane, d_aw, D
 
@@ -534,7 +576,8 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
         b, nv, heads, hd = value.shape
         q = locs.shape[1]
         npts = locs.shape[4]
-        s = q * nlv * npts
+        lp = nlv * npts
+        s = q * lp
         plane = _build_quad_plane(value, spatial_shapes, gather_dtype)
         plane = plane.reshape(b * heads, plane.shape[2], 4 * hd)
         geo, idx, w4geo = _geo_flat(locs)
@@ -546,20 +589,84 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
 
         level_sizes = tuple(h * w for (h, w) in spatial_shapes)
 
-        def body(_, xs):
-            p_s, idx_s, w4_s, aw_s, g_s = xs
-            dplane, d_aw, D = _slice_backward(
-                p_s, idx_s, w4_s, aw_s, g_s, q, hd, nlv, npts,
-                compute_dtype, level_sizes)
-            return None, (dplane, d_aw, D)
+        if q > 2 * query_chunk:
+            # Query-chunked backward (mirror of the forward): the
+            # per-chunk rows buffer stays VMEM-resident into the
+            # per-slot-dot and update producers instead of
+            # round-tripping the full (S, 4hd) slice buffer through
+            # HBM.  Sample arrays go chunk-major ((lp, Q) ->
+            # (nq, lp, qc)); the per-level d_plane accumulates in an
+            # f32 scan carry.  Padded queries carry zero weight and
+            # zero upstream grad, so their updates vanish and their
+            # d_aw / D outputs are sliced off.
+            qc = query_chunk
+            nq = -(-q // qc)
+            qp = nq * qc
 
-        _, (dquad, d_aw_f, D_f) = jax.lax.scan(
-            body, None, (plane, idx, w4geo, awf, gh))
+            def chunk_s(a, tail=()):
+                a = a.reshape((b, heads, lp, q) + tail)
+                a = jnp.pad(a, ((0, 0),) * 3 + ((0, qp - q),)
+                            + ((0, 0),) * len(tail))
+                a = jnp.transpose(
+                    a.reshape((b, heads, lp, nq, qc) + tail),
+                    (0, 1, 3, 2, 4) + tuple(
+                        5 + i for i in range(len(tail))))
+                return a.reshape((b * heads, nq, lp * qc) + tail)
 
-        # lp-major (BH, S) -> (B, Q, h, L, P)
-        d_aw = jnp.transpose(
-            d_aw_f.reshape(b, heads, nlv, npts, q), (0, 4, 1, 2, 3))
-        D = D_f.reshape(b, heads, nlv, npts, q, 4)
+            idxc = chunk_s(idx)
+            w4c = chunk_s(w4geo, (4,))
+            awc = chunk_s(awf)
+            ghc = jnp.pad(gh, ((0, 0), (0, qp - q), (0, 0))).reshape(
+                b * heads, nq, qc, hd)
+
+            def body(_, xs):
+                p_s, idx_s, w4_s, aw_s, g_s = xs
+                acc0 = tuple(jnp.zeros((_acc_rows(n_l), 4 * hd),
+                                       jnp.float32)
+                             for n_l in level_sizes)
+
+                def inner(accs, ys):
+                    i_c, w_c, a_c, g_c = ys
+                    accs, d_aw_c, D_c = _slice_backward(
+                        p_s, i_c, w_c, a_c, g_c, qc, hd, nlv, npts,
+                        compute_dtype, level_sizes, accs=accs)
+                    return accs, (d_aw_c, D_c)
+
+                accs, (d_aw_s, D_s) = jax.lax.scan(
+                    inner, acc0, (idx_s, w4_s, aw_s, g_s))
+                dplane = jnp.concatenate(
+                    [a[:n_l] for a, n_l in zip(accs, level_sizes)],
+                    axis=0)
+                return None, (dplane, d_aw_s, D_s)
+
+            _, (dquad, d_aw_f, D_f) = jax.lax.scan(
+                body, None, (plane, idxc, w4c, awc, ghc))
+
+            def unchunk(a, tail=()):
+                # (BH, nq, lp*qc[,tail]) -> (B, h, lp, Q[,tail])
+                a = a.reshape((b, heads, nq, lp, qc) + tail)
+                a = jnp.transpose(a, (0, 1, 3, 2, 4) + tuple(
+                    5 + i for i in range(len(tail))))
+                return a.reshape((b, heads, nlv, npts, qp) + tail)[
+                    :, :, :, :, :q]
+
+            d_aw = jnp.transpose(unchunk(d_aw_f), (0, 4, 1, 2, 3))
+            D = unchunk(D_f, (4,))
+        else:
+            def body(_, xs):
+                p_s, idx_s, w4_s, aw_s, g_s = xs
+                dplane, d_aw, D = _slice_backward(
+                    p_s, idx_s, w4_s, aw_s, g_s, q, hd, nlv, npts,
+                    compute_dtype, level_sizes)
+                return None, (dplane, d_aw, D)
+
+            _, (dquad, d_aw_f, D_f) = jax.lax.scan(
+                body, None, (plane, idx, w4geo, awf, gh))
+
+            # lp-major (BH, S) -> (B, Q, h, L, P)
+            d_aw = jnp.transpose(
+                d_aw_f.reshape(b, heads, nlv, npts, q), (0, 4, 1, 2, 3))
+            D = D_f.reshape(b, heads, nlv, npts, q, 4)
         d_locs = _loc_grads(geo, D, aw_t)
 
         dquad = dquad.reshape(b, heads, -1, 4 * hd)
