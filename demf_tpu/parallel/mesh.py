@@ -18,27 +18,103 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _expand_slurm_nodelist(nodelist):
+    """First hostname of a SLURM nodelist (plain, comma, or ``n[01-04]``).
+
+    Only the FIRST entry is needed (it hosts the coordinator), so bracket
+    ranges are resolved to their first element; mirrors what mmcv's slurm
+    launcher does via ``scontrol show hostname | head -n1``.
+    """
+    import re
+    first = nodelist.split(',')[0].strip()
+    m = re.match(r'^([^\[]*)\[([^\]\-,]+)', first)
+    if m:
+        return m.group(1) + m.group(2)
+    return first
+
+
+def resolve_launcher_env(launcher, environ):
+    """Map a launcher's env vars to jax.distributed.initialize kwargs.
+
+    Pure (testable) counterpart of mmcv ``init_dist``'s per-launcher env
+    discovery (reference ``demf/engine/default.py:54-58`` offers
+    {pytorch, slurm, mpi}; collectives there are NCCL, here ICI/GSPMD):
+
+    - ``pytorch``: torch.distributed.launch exports RANK / WORLD_SIZE /
+      MASTER_ADDR / MASTER_PORT.
+    - ``slurm``: SLURM_PROCID / SLURM_NTASKS / SLURM_STEP_NODELIST (or
+      SLURM_JOB_NODELIST / SLURM_NODELIST); coordinator = first node.
+      Port: MASTER_PORT env or 29500.
+    - ``mpi`` (Open MPI): OMPI_COMM_WORLD_RANK / OMPI_COMM_WORLD_SIZE;
+      coordinator from MASTER_ADDR/MASTER_PORT (as mmcv's mpi launcher
+      requires).
+    - ``jax``: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+      JAX_PROCESS_ID, or {} to let JAX auto-detect (TPU-VM metadata).
+
+    Raises RuntimeError with guidance when the launcher's required env is
+    absent — never silently falls back to single-process.
+    """
+    def need(*names):
+        missing = [n for n in names if n not in environ]
+        if missing:
+            raise RuntimeError(
+                f'--launcher {launcher}: missing env var(s) '
+                f'{missing}; launch via the matching job launcher or use '
+                f'--launcher jax with JAX_COORDINATOR_ADDRESS/'
+                f'JAX_NUM_PROCESSES/JAX_PROCESS_ID (docs/MULTIHOST.md)')
+        return [environ[n] for n in names]
+
+    if launcher == 'pytorch':
+        rank, world, addr, port = need('RANK', 'WORLD_SIZE', 'MASTER_ADDR',
+                                       'MASTER_PORT')
+        return dict(coordinator_address=f'{addr}:{port}',
+                    num_processes=int(world), process_id=int(rank))
+    if launcher == 'slurm':
+        rank, world = need('SLURM_PROCID', 'SLURM_NTASKS')
+        nodelist = (environ.get('SLURM_STEP_NODELIST')
+                    or environ.get('SLURM_JOB_NODELIST')
+                    or environ.get('SLURM_NODELIST'))
+        if not nodelist:
+            raise RuntimeError(
+                '--launcher slurm: no SLURM_*_NODELIST env var; cannot '
+                'locate the coordinator node')
+        addr = _expand_slurm_nodelist(nodelist)
+        port = environ.get('MASTER_PORT', '29500')
+        return dict(coordinator_address=f'{addr}:{port}',
+                    num_processes=int(world), process_id=int(rank))
+    if launcher == 'mpi':
+        rank, world = need('OMPI_COMM_WORLD_RANK', 'OMPI_COMM_WORLD_SIZE')
+        addr, port = need('MASTER_ADDR', 'MASTER_PORT')
+        return dict(coordinator_address=f'{addr}:{port}',
+                    num_processes=int(world), process_id=int(rank))
+    # 'jax' (and the default path): explicit env or JAX auto-detection
+    kwargs = {}
+    if environ.get('JAX_COORDINATOR_ADDRESS'):
+        kwargs = dict(
+            coordinator_address=environ['JAX_COORDINATOR_ADDRESS'],
+            num_processes=int(environ['JAX_NUM_PROCESSES'])
+            if environ.get('JAX_NUM_PROCESSES') else None,
+            process_id=int(environ['JAX_PROCESS_ID'])
+            if environ.get('JAX_PROCESS_ID') else None)
+    return kwargs
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None):
+                     process_id=None, launcher='jax'):
     """Multi-host process-group setup (NCCL ``init_dist`` equivalent).
 
-    Resolution order per field: explicit argument -> ``JAX_COORDINATOR_
-    ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars (what a
-    pod launcher exports on every worker; see docs/MULTIHOST.md) -> JAX
-    auto-detection (TPU-VM metadata / SLURM), mirroring how mmcv
-    ``init_dist`` reads the torch.distributed.launch env.
+    Resolution order per field: explicit argument -> launcher-specific env
+    vars via :func:`resolve_launcher_env` (what the job launcher exports on
+    every worker; see docs/MULTIHOST.md) -> JAX auto-detection (TPU-VM
+    metadata / SLURM), mirroring how mmcv ``init_dist`` reads each
+    launcher's env (``demf/engine/default.py:54-58``).
     """
     import os
-    if coordinator_address is None:
-        coordinator_address = os.environ.get('JAX_COORDINATOR_ADDRESS')
-    if num_processes is None and os.environ.get('JAX_NUM_PROCESSES'):
-        num_processes = int(os.environ['JAX_NUM_PROCESSES'])
-    if process_id is None and os.environ.get('JAX_PROCESS_ID'):
-        process_id = int(os.environ['JAX_PROCESS_ID'])
-    kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
+    else:
+        kwargs = resolve_launcher_env(launcher, os.environ)
     jax.distributed.initialize(**kwargs)
 
 

@@ -19,9 +19,9 @@ def main(argv=None):
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
 
-    if args.launcher == 'jax':
+    if args.launcher != 'none':
         from demf_tpu.parallel.mesh import init_distributed
-        init_distributed()
+        init_distributed(launcher=args.launcher)
 
     import jax
     import numpy as np

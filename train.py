@@ -24,9 +24,12 @@ def main(argv=None):
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
 
-    if args.launcher == 'jax':
+    if args.launcher != 'none':
+        # every launcher maps to jax.distributed coordinator discovery
+        # (reference init_dist accepts pytorch/slurm/mpi: default.py:54-58);
+        # missing launcher env raises — never a silent single-process run
         from demf_tpu.parallel.mesh import init_distributed
-        init_distributed()
+        init_distributed(launcher=args.launcher)
 
     import jax
     import demf_tpu.models  # noqa: F401
