@@ -196,7 +196,8 @@ def pretrain_2d_branch(model, variables, ds, batch_size, max_gt, steps,
 
 
 def main(steps=200, batch_size=16, model_kind='votenet',
-         ball_query=None, steps_2d=300, scenes=32, gen_eval=False):
+         ball_query=None, steps_2d=300, scenes=32, gen_eval=False,
+         eval_every=0):
     import jax
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
@@ -336,6 +337,7 @@ def main(steps=200, batch_size=16, model_kind='votenet',
     it = 0
     t0 = time.perf_counter()
     losses = []
+    curve = []
     while it < steps:
         for batch in loader:
             if it >= steps:
@@ -349,10 +351,18 @@ def main(steps=200, batch_size=16, model_kind='votenet',
                 print(f'step {it}: loss={losses[-1]:.3f} '
                       f'({(time.perf_counter() - t0) / it * 1000:.0f} '
                       f'ms/step avg)', flush=True)
+            if eval_every and it % eval_every == 0 and it < steps:
+                m = eval_map(state)
+                curve.append((it, m))
+                print(f'  eval @ step {it}: mAP@0.25 {m:.4f}', flush=True)
 
     map_after = eval_map(state)
+    curve.append((steps, map_after))
     print(f'mAP@0.25 after {steps} steps: {map_after:.4f}', flush=True)
     print(f'loss trajectory: {losses}')
+    if eval_every:
+        print('mAP curve: ' + ' '.join(f'{s}:{m:.4f}' for s, m in curve),
+              flush=True)
     for name, fn in ablations.items():
         m = fn(state)
         print(f'ablation {name}: mAP@0.25 {m:.4f}', flush=True)
@@ -391,5 +401,9 @@ if __name__ == '__main__':
     scenes = 32
     if '--scenes' in sys.argv:
         scenes = int(sys.argv[sys.argv.index('--scenes') + 1])
+    ee = 0
+    if '--eval-every' in sys.argv:
+        ee = int(sys.argv[sys.argv.index('--eval-every') + 1])
     main(steps=steps, batch_size=bs, model_kind=kind, ball_query=bq,
-         steps_2d=s2d, scenes=scenes, gen_eval='--gen-eval' in sys.argv)
+         steps_2d=s2d, scenes=scenes, gen_eval='--gen-eval' in sys.argv,
+         eval_every=ee)
