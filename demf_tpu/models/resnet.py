@@ -6,13 +6,20 @@ frozen_stages=1, norm_eval=True, style='pytorch').  Convs run channel-last
 so XLA tiles them directly onto the MXU.  ``norm_eval`` pins BatchNorm to
 running stats regardless of the train flag (the reference's frozen-BN
 regime); parameter freezing is applied at the optimizer (see
-``frozen_param_patterns``).
+``frozen_param_patterns``) AND as ``stop_gradient`` on the activations
+leaving each frozen stage — the torch ``requires_grad=False`` semantics
+(mmdet ResNet._freeze_stages) prune the whole backward below the first
+trainable stage, which on TPU is worth ~53 ms/step at the stage-1
+pretrain shapes (b4, 800x1344: ResNet fwd+bwd 113 -> 60 ms measured;
+everything below layer2's input is dead code once stem+layer1 are
+frozen, and the stem/layer1 backward is the spatially largest).
 """
 from __future__ import annotations
 
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.registry import BACKBONES
@@ -85,6 +92,8 @@ class ResNet(nn.Module):
                          name='bn1')(x).astype(dt)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         planes = 64
@@ -96,6 +105,8 @@ class ResNet(nn.Module):
                                downsample=(i == 0),
                                style=self.style,
                                name=f'layer{stage + 1}_{i}')(x, ura)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

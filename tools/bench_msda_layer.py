@@ -1501,8 +1501,134 @@ def main20():
               f'max|diff| {err:.2e}', flush=True)
 
 
+def main21():
+    """Backward d_value, round 5: SORTED-BANDED one-hot accumulation.
+
+    Per (slice, chunk): sort the 11264 fine-level sample indices, gather
+    the update rows into sorted order (fast VMEM gather), then for each
+    group of g consecutive sorted samples run a width-W banded one-hot
+    matmul (targets rel to the group's first index) and add the (W, 128)
+    partial into the accumulator at a dynamic offset.  Out-of-band
+    samples (group span > W — rare for real encoder geometry) fall back
+    to an exact masked scatter under lax.cond.  Shapes = DETR-pretrain
+    fine level at b4: 32 slices x 8 chunks x 11264 samples, N = 16800.
+    Clustered indices model raster-chunk locality (the first 6 chunks of
+    a slice are fine-level queries in raster order; the last 2 hold the
+    coarse-level queries whose fine samples spread over the whole map).
+    """
+    n_slices, n_chunks, sl_c = 32, 8, 11264
+    n_l = 16800
+    c = 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    # clustered: chunk j of the first 6 covers rows [j*2816/16800 * n_l]
+    centers = (np.arange(n_chunks) * 2816 + 1408).clip(0, n_l)
+    base = np.broadcast_to(centers[None, :, None],
+                           (n_slices, n_chunks, sl_c)).astype(np.int32)
+    jitter = np.asarray(jax.random.randint(
+        ks[0], (n_slices, n_chunks, sl_c), -400, 400, jnp.int32))
+    idx_cl = np.clip(base + jitter, 0, n_l - 1)
+    # coarse-query chunks (last 2): uniform over the whole fine level
+    uni = np.asarray(jax.random.randint(
+        ks[1], (n_slices, 2, sl_c), 0, n_l, jnp.int32))
+    idx_cl[:, 6:] = uni
+    idx_cl = jnp.asarray(idx_cl)
+    idx_uni = jax.random.randint(
+        ks[2], (n_slices, n_chunks, sl_c), 0, n_l, jnp.int32)
+    upd = jax.random.normal(ks[3], (n_slices, n_chunks, sl_c, c),
+                            jnp.bfloat16)
+    jax.block_until_ready((idx_cl, idx_uni, upd))
+    rows_n = n_slices * n_chunks * sl_c
+
+    @jax.jit
+    def scatter_base(idx, upd):
+        def outer(_, xs):
+            i_s, u_s = xs
+
+            def inner(acc, ys):
+                i, u = ys
+                return acc.at[i].add(u.astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(
+                inner, jnp.zeros((n_l, c), jnp.float32), (i_s, u_s))
+            return None, acc
+        _, out = jax.lax.scan(outer, None, (idx, upd))
+        return out
+
+    def make_banded(g, w):
+        ng = sl_c // g
+        n_pad = n_l + w      # headroom so every dynamic band fits
+
+        @jax.jit
+        def banded(idx, upd):
+            def outer(_, xs):
+                i_s, u_s = xs
+
+                def inner(acc, ys):
+                    i, u = ys                      # (SL,), (SL, c)
+                    si, perm = jax.lax.sort_key_val(
+                        i, jnp.arange(sl_c, dtype=jnp.int32))
+                    us = jax.lax.optimization_barrier(u[perm])
+                    los = si[::g]                  # (ng,) group starts
+                    rel = si.reshape(ng, g) - los[:, None]
+                    inband = rel < w
+                    oh = ((rel[:, :, None] ==
+                           jnp.arange(w, dtype=jnp.int32)[None, None])
+                          .astype(u.dtype))        # (ng, g, w)
+                    parts = jax.lax.dot_general(
+                        oh, us.reshape(ng, g, c),
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # (ng, w, c)
+
+                    def grp(a, zs):
+                        lo, p = zs
+                        cur = jax.lax.dynamic_slice(a, (lo, 0), (w, c))
+                        return jax.lax.dynamic_update_slice(
+                            a, cur + p, (lo, 0)), None
+
+                    acc2, _ = jax.lax.scan(grp, acc, (los, parts))
+                    ovf = jnp.any(~inband)
+
+                    def fb(a):
+                        um = jnp.where(inband.reshape(sl_c, 1), 0.0,
+                                       us.astype(jnp.float32))
+                        return a.at[si].add(um)
+
+                    acc2 = jax.lax.cond(ovf, fb, lambda a: a, acc2)
+                    return acc2, None
+
+                acc, _ = jax.lax.scan(
+                    inner, jnp.zeros((n_pad, c), jnp.float32), (i_s, u_s))
+                return None, acc[:n_l]
+            _, out = jax.lax.scan(outer, None, (idx, upd))
+            return out
+        return banded
+
+    ref_cl = scatter_base(idx_cl, upd)
+    ref_uni = scatter_base(idx_uni, upd)
+    t = timeit(scatter_base, idx_cl, upd, iters=3)
+    print(f'scatter baseline            {t * 1e3:8.1f} ms  '
+          f'{rows_n / t / 1e6:7.1f} M rows/s', flush=True)
+    for g, w in ((512, 512), (1024, 1024), (1024, 512), (2816, 1024)):
+        fn = make_banded(g, w)
+        for label, idx, ref in (('clustered', idx_cl, ref_cl),
+                                ('uniform  ', idx_uni, ref_uni)):
+            try:
+                t = timeit(fn, idx, upd, iters=3)
+            except Exception as e:
+                print(f'banded g={g} W={w} {label}  FAILED: '
+                      f'{type(e).__name__}: {str(e)[:80]}', flush=True)
+                break
+            got = fn(idx, upd)
+            err = float(jnp.max(jnp.abs(got - ref)))
+            print(f'banded g={g:<5}W={w:<5}{label} {t * 1e3:8.1f} ms  '
+                  f'{rows_n / t / 1e6:7.1f} M rows/s  max|diff| {err:.2e}',
+                  flush=True)
+
+
 if __name__ == '__main__':
-    if '--v20' in sys.argv:
+    if '--v21' in sys.argv:
+        main21()
+    elif '--v20' in sys.argv:
         main20()
     elif '--v19' in sys.argv:
         main19()
