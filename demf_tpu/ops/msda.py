@@ -264,12 +264,48 @@ def _acc_rows(n_l):
 # the split).
 _ONEHOT_SCATTER_MAX_ROWS = 4608
 
+# Banded one-hot: in the query-chunked backward a chunk's samples on a
+# given level cluster in a contiguous row band (queries walk the
+# flattened levels in raster order, and deformable offsets are a few
+# pixels), so the one-hot contraction only needs a W-row window at a
+# dynamic offset instead of all N_l rows.  Out-of-band chunks (the
+# coarse-level queries whose samples spread over the whole map, or
+# aggressively trained offsets) detect overflow at runtime and take the
+# full-width one-hot under ``lax.cond`` — exact in every case, the band
+# is purely a fast path.  W = the smallest multiple of 512 covering
+# half the level, capped at 2048 (a wider 2560 band and banding the
+# ~1 k-row level both measured slower at stage-1 shapes: the extra
+# band-RMW traffic beats the overflow savings).  Levels at or below
+# _BANDED_MIN_ROWS keep the plain full one-hot.
+_BANDED_MIN_ROWS = 2048
+
+
+def _band_width(n_l):
+    w = -(-(n_l // 2) // 512) * 512
+    return min(w, 2048, n_l)
+
 # Widened scatter for the remaining (fine) scatter levels: pack k
 # samples' updates into one (k*4hd)-wide accumulator row (target row n
 # -> row n//k, channel block n%k), dividing the issue-rate-bound
 # scatter row count by k for k x traffic + a one-hot block-select on
-# the VPU.  0/1 = off; tuned via tools/bench_msda_layer.py --v20.
+# the VPU.  0/1 = off; tuned via tools/bench_msda_layer.py --v20
+# (measured: k=2 is 1.5x SLOWER than the plain scatter — the one-hot
+# block-select producer outweighs the halved row count; kept as an
+# env-gated probe only).
 _SCATTER_WIDEN_K = int(os.environ.get('DEMF_TPU_MSDA_WIDEN_K', '0') or 0)
+
+# Residual-saving threshold for the chunked backward: when the total
+# sample count B*heads*L*P*Q is at most this, the forward SAVES the
+# packed quad plane + the chunk-layout gather inputs (idx / bilinear
+# weights / attention weights / pixel coords) instead of recomputing
+# them in the backward.  The recompute is ~14 ms/layer of pure layout
+# work (plane repack, Q-minor geometry transposes, chunk reshapes) at
+# stage-1 DETR-pretrain shapes (b4: 11.5 M samples -> ~550 MB/layer of
+# residuals, 3.3 GB for the 6-layer encoder — fine in 16 GB HBM), but
+# at the b16 uncached-DeMF shapes (46 M samples) the residuals would be
+# ~13 GB, so large calls keep the rematerializing backward.
+_SAVE_RESIDUALS_MAX_SAMPLES = int(os.environ.get(
+    'DEMF_TPU_MSDA_SAVE_RES_MAX', str(24_000_000)))
 
 
 def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
@@ -335,6 +371,43 @@ def _slice_backward(plane_s, idx_s, w4geo_s, aw_s, g_s, q, hd, nlv, npts,
         il = idx_s[lvl * sl:(lvl + 1) * sl] - start
         ul = upd[lvl * sl:(lvl + 1) * sl]
         if n_l <= _ONEHOT_SCATTER_MAX_ROWS:
+            base = (jnp.zeros((n_l, 4 * hd), jnp.float32)
+                    if accs is None else accs[lvl])
+            bw = _band_width(n_l)
+            if n_l > _BANDED_MIN_ROWS and bw < n_l:
+                # banded fast path: W-row one-hot at a dynamic offset;
+                # overflow (samples outside [lo, lo+W)) falls back to
+                # the full-width one-hot under cond — exact either way
+                lo = jnp.clip(jnp.min(il), 0, n_l - bw)
+                rel = il - lo
+                ovf = jnp.any(rel >= bw)
+
+                def _full(a, il=il, ul=ul, n_l=n_l):
+                    oh = (il[:, None]
+                          == jnp.arange(n_l, dtype=jnp.int32)
+                          ).astype(compute_dtype)
+                    return a + jax.lax.dot_general(
+                        oh, ul, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(compute_dtype))
+
+                def _band(a, rel=rel, lo=lo, ul=ul, bw=bw):
+                    oh = (rel[:, None]
+                          == jnp.arange(bw, dtype=jnp.int32)
+                          ).astype(compute_dtype)
+                    band = jax.lax.dot_general(
+                        oh, ul, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(compute_dtype))
+                    cur = jax.lax.dynamic_slice(
+                        a, (lo, 0), (bw, a.shape[1]))
+                    return jax.lax.dynamic_update_slice(
+                        a, cur + band, (lo, 0))
+
+                d = jax.lax.cond(ovf, _full, _band, base)
+                parts.append(d)
+                start += n_l
+                continue
             oh = (il[:, None] == jnp.arange(n_l, dtype=jnp.int32)
                   ).astype(compute_dtype)                 # (SL, N_l)
             d = jax.lax.dot_general(
@@ -468,6 +541,118 @@ def _small_q_msda(value, spatial_shapes, locs, aw, gather_dtype):
         b, q, heads * hd).astype(value.dtype)
 
 
+@functools.lru_cache(maxsize=32)
+def _make_small_q_msda(spatial_shapes, gather_dtype_name):
+    """Small-q MSDA with a custom VJP whose d_value rides the MXU.
+
+    XLA's autodiff adjoint for the per-corner ``take_along_axis``
+    gathers is a 32-element-row scatter-add (the slow ~10 M rows/s
+    class).  At decoder scale the one-hot matmul form is tiny —
+    2*QP*HW*hd FLOPs per (corner, level) — so the whole d_value
+    accumulation runs as batched (B, h) matmuls with the one-hot
+    generated on the fly, and d_locations / d_attention come from the
+    same re-gathered corner rows via per-corner dots (the decoder
+    analogue of the encoder path's ``_slice_backward``).  Matches mmcv
+    ``ms_deform_attn_backward`` semantics exactly (zero padding,
+    align_corners=False).
+    """
+    gather_dtype = jnp.dtype(gather_dtype_name)
+
+    def _fwd_impl(value, locs, aw):
+        return _small_q_msda(value, spatial_shapes, locs, aw,
+                             gather_dtype)
+
+    @jax.custom_vjp
+    def fn(value, locs, aw):
+        return _fwd_impl(value, locs, aw)
+
+    def fwd_rule(value, locs, aw):
+        return _fwd_impl(value, locs, aw), (value, locs, aw)
+
+    def _bwd(res, g):
+        value, locs, aw = res
+        b, _, heads, hd = value.shape
+        q, npts = locs.shape[1], locs.shape[4]
+        qp = q * npts
+        gh = jnp.moveaxis(
+            g.reshape(b, q, heads, hd), 2, 1).astype(jnp.float32)
+        # per-sample upstream grad, broadcast over points: (B,h,QP,hd)
+        ghp = jnp.broadcast_to(gh[:, :, :, None], (b, heads, q, npts, hd)
+                               ).reshape(b, heads, qp, hd)
+        d_val_levels = []
+        d_aw_levels = []
+        d_loc_levels = []
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            n_l = h * w
+            v = value[:, start:start + n_l].astype(gather_dtype)
+            rows = jnp.transpose(v, (0, 2, 1, 3))         # (B,h,HW,hd)
+            loc = jnp.moveaxis(locs[:, :, :, lvl], 2, 1).reshape(
+                b, heads, qp, 2)
+            awl = jnp.moveaxis(aw[:, :, :, lvl], 2, 1).reshape(
+                b, heads, qp).astype(jnp.float32)
+            x = loc[..., 0].astype(jnp.float32) * w - 0.5
+            y = loc[..., 1].astype(jnp.float32) * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            dot_sum = jnp.zeros((b, heads, qp), jnp.float32)
+            dx_acc = jnp.zeros((b, heads, qp), jnp.float32)
+            dy_acc = jnp.zeros((b, heads, qp), jnp.float32)
+            d_rows = jnp.zeros((b, heads, n_l, hd), jnp.float32)
+            wx1 = x - x0
+            wy1 = y - y0
+            for dy in (0, 1):
+                wy_ = wy1 if dy else 1.0 - wy1
+                gy = 1.0 if dy else -1.0
+                for dx in (0, 1):
+                    wx_ = wx1 if dx else 1.0 - wx1
+                    gx = 1.0 if dx else -1.0
+                    xi = x0i + dx
+                    yi = y0i + dy
+                    ok = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                          ).astype(jnp.float32)
+                    idx = (jnp.clip(yi, 0, h - 1) * w
+                           + jnp.clip(xi, 0, w - 1))
+                    gcorn = jnp.take_along_axis(
+                        rows, idx[..., None], axis=2).astype(jnp.float32)
+                    # per-sample <g, corner>: d/d(weight) of this corner
+                    dot = jnp.sum(gcorn * ghp, axis=-1) * ok
+                    wgt = wx_ * wy_ * ok
+                    dot_sum = dot_sum + wgt * dot
+                    # location grads (d wgt / d x, d y)
+                    dx_acc = dx_acc + awl * dot * gx * wy_
+                    dy_acc = dy_acc + awl * dot * gy * wx_
+                    # d_value: one-hot matmul over QP (MXU; the
+                    # comparison is generated in the fused loop)
+                    upd = ((awl * wgt)[..., None] * ghp).astype(
+                        gather_dtype)                     # (B,h,QP,hd)
+                    oh = (idx[..., None]
+                          == jnp.arange(n_l, dtype=jnp.int32)
+                          ).astype(gather_dtype)          # (B,h,QP,HW)
+                    d_rows = d_rows + jax.lax.dot_general(
+                        oh, upd, (((2,), (2,)), ((0, 1), (0, 1))),
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(gather_dtype))
+            d_aw_levels.append(dot_sum.reshape(b, heads, q, npts))
+            d_loc_levels.append(jnp.stack(
+                [dx_acc * w, dy_acc * h], axis=-1).reshape(
+                    b, heads, q, npts, 2))
+            d_val_levels.append(jnp.moveaxis(d_rows, 1, 2))
+            start += n_l
+        d_value = jnp.concatenate(d_val_levels, axis=1).astype(value.dtype)
+        # (B,h,Q,P[,2]) per level -> (B,Q,h,L,P[,2])
+        d_aw = jnp.stack([jnp.moveaxis(a, 1, 2) for a in d_aw_levels],
+                         axis=3).astype(aw.dtype)
+        d_locs = jnp.stack([jnp.moveaxis(a, 1, 2) for a in d_loc_levels],
+                           axis=3).astype(locs.dtype)
+        return d_value, d_locs, d_aw
+
+    fn.defvjp(fwd_rule, _bwd)
+    return fn
+
+
 def _fold_quad_grad(dquad, h, w, hd):
     """(B, heads, HW, 4*hd) quad-layout grad -> (B, heads, HW, hd)."""
     b, heads = dquad.shape[:2]
@@ -531,16 +716,19 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
             qc = query_chunk
             nq = -(-q // qc)
             qp = nq * qc
-            idx6 = geo['idx'].reshape(b, heads, lp, q)
-            idx6 = jnp.pad(idx6, ((0, 0),) * 3 + ((0, qp - q),))
-            idxc = jnp.transpose(
-                idx6.reshape(b, heads, lp, nq, qc), (0, 1, 3, 2, 4))
-            idxc = idxc.reshape(b * heads, nq, lp * qc)
-            w4p = jnp.pad(w4.reshape(b, heads, lp, q, 4),
-                          ((0, 0),) * 3 + ((0, qp - q), (0, 0)))
-            w4c = jnp.transpose(
-                w4p.reshape(b, heads, lp, nq, qc, 4), (0, 1, 3, 2, 4, 5))
-            w4c = w4c.reshape(b * heads, nq, lp * qc, 4)
+
+            def chunk_s(a, tail=()):
+                a = a.reshape((b, heads, lp, q) + tail)
+                a = jnp.pad(a, ((0, 0),) * 3 + ((0, qp - q),)
+                            + ((0, 0),) * len(tail))
+                a = jnp.transpose(
+                    a.reshape((b, heads, lp, nq, qc) + tail),
+                    (0, 1, 3, 2, 4) + tuple(
+                        5 + i for i in range(len(tail))))
+                return a.reshape((b * heads, nq, lp * qc) + tail)
+
+            idxc = chunk_s(geo['idx'])
+            w4c = chunk_s(w4, (4,))
 
             def body(_, xs):
                 p_s, idx_s, w4_s = xs
@@ -556,6 +744,24 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
 
             _, outs = jax.lax.scan(body, None, (plane, idxc, w4c))
             out = outs.reshape(b, heads, qp, hd)[:, :, :q]
+            if b * heads * lp * q <= _SAVE_RESIDUALS_MAX_SAMPLES:
+                # Save the packed plane + the chunk-layout gather inputs
+                # so the backward skips the plane repack, the Q-minor
+                # geometry transposes and the chunk reshapes (~14
+                # ms/layer of pure layout work at stage-1 shapes).  The
+                # (0,)-sized leaves carry the public dtypes for the
+                # cotangent casts.
+                w4geoc = chunk_s(
+                    jnp.stack([w.astype(compute_dtype)
+                               for w in geo['ws']], axis=-1), (4,))
+                awc = chunk_s(aw_t.astype(jnp.float32))
+                saved = (plane, idxc, w4geoc, awc,
+                         geo['x'], geo['y'],
+                         jnp.zeros((0,), value.dtype),
+                         jnp.zeros((0,), locs.dtype),
+                         jnp.zeros((0,), aw.dtype))
+                out = jnp.moveaxis(out, 1, 2).reshape(b, q, heads * hd)
+                return out.astype(value.dtype), saved
         else:
             idx = geo['idx'].reshape(b * heads, q * lp)
             w4f = w4.reshape(b * heads, q * lp, 4)
@@ -571,7 +777,85 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
         out = jnp.moveaxis(out, 1, 2).reshape(b, q, heads * hd)
         return out.astype(value.dtype), (value, locs, aw)
 
+    def _grid_consts(jdtype=jnp.float32):
+        wvec = jnp.asarray([w for (_, w) in spatial_shapes], jdtype)
+        hvec = jnp.asarray([h for (h, _) in spatial_shapes], jdtype)
+        wm2 = jnp.asarray([max(w - 2, 0) for (_, w) in spatial_shapes],
+                          jdtype)
+        hm2 = jnp.asarray([max(h - 2, 0) for (h, _) in spatial_shapes],
+                          jdtype)
+        return wvec, hvec, wm2, hm2
+
+    def _bwd_saved(res, g):
+        """Backward from saved chunk-layout residuals (no recompute)."""
+        plane, idxc, w4geoc, awc, x, y, vdt, ldt, adt = res
+        b, heads, _, npts, q = x.shape
+        hd = plane.shape[2] // 4
+        lp = nlv * npts
+        qc = query_chunk
+        nq = idxc.shape[1]
+        qp = nq * qc
+        gh = jnp.moveaxis(
+            g.reshape(b, q, heads, hd).astype(jnp.float32), 2, 1)
+        gh = gh.reshape(b * heads, q, hd)
+        ghc = jnp.pad(gh, ((0, 0), (0, qp - q), (0, 0))).reshape(
+            b * heads, nq, qc, hd)
+        level_sizes = tuple(h * w for (h, w) in spatial_shapes)
+
+        def body(_, xs):
+            p_s, idx_s, w4_s, aw_s, g_s = xs
+            acc0 = tuple(jnp.zeros((_acc_rows(n_l), 4 * hd), jnp.float32)
+                         for n_l in level_sizes)
+
+            def inner(accs, ys):
+                i_c, w_c, a_c, g_c = ys
+                accs, d_aw_c, D_c = _slice_backward(
+                    p_s, i_c, w_c, a_c, g_c, qc, hd, nlv, npts,
+                    compute_dtype, level_sizes, accs=accs)
+                return accs, (d_aw_c, D_c)
+
+            accs, (d_aw_s, D_s) = jax.lax.scan(
+                inner, acc0, (idx_s, w4_s, aw_s, g_s))
+            dplane = jnp.concatenate(
+                [a[:n_l] for a, n_l in zip(accs, level_sizes)], axis=0)
+            return None, (dplane, d_aw_s, D_s)
+
+        _, (dquad, d_aw_f, D_f) = jax.lax.scan(
+            body, None, (plane, idxc, w4geoc, awc, ghc))
+
+        def unchunk(a, tail=()):
+            a = a.reshape((b, heads, nq, lp, qc) + tail)
+            a = jnp.transpose(a, (0, 1, 3, 2, 4) + tuple(
+                5 + i for i in range(len(tail))))
+            return a.reshape((b, heads, nlv, npts, qp) + tail)[
+                :, :, :, :, :q]
+
+        d_aw = jnp.transpose(unchunk(d_aw_f), (0, 4, 1, 2, 3))
+        D = unchunk(D_f, (4,))
+        aw_t = unchunk(awc)
+        wvec, hvec, wm2, hm2 = _grid_consts()
+        lshape = (1, 1, nlv, 1, 1)
+        geo = dict(x=x, y=y,
+                   bx=jnp.clip(jnp.floor(x), 0.0, wm2.reshape(lshape)),
+                   by=jnp.clip(jnp.floor(y), 0.0, hm2.reshape(lshape)),
+                   wvec=wvec, hvec=hvec)
+        d_locs = _loc_grads(geo, D, aw_t)
+
+        dquad = dquad.reshape(b, heads, -1, 4 * hd)
+        starts = [0]
+        for (h, w) in spatial_shapes:
+            starts.append(starts[-1] + h * w)
+        dval_levels = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            dv = _fold_quad_grad(
+                dquad[:, :, starts[lvl]:starts[lvl + 1]], h, w, hd)
+            dval_levels.append(jnp.moveaxis(dv, 1, 2))
+        d_value = jnp.concatenate(dval_levels, axis=1).astype(vdt.dtype)
+        return (d_value, d_locs.astype(ldt.dtype), d_aw.astype(adt.dtype))
+
     def _bwd(res, g):
+        if len(res) == 9:
+            return _bwd_saved(res, g)
         value, locs, aw = res
         b, nv, heads, hd = value.shape
         q = locs.shape[1]
@@ -690,7 +974,7 @@ def _make_msda(spatial_shapes, gather_dtype_name, query_chunk):
 
 def multi_scale_deformable_attention(value, spatial_shapes,
                                      sampling_locations, attention_weights,
-                                     query_chunk=2816, gather_dtype=None):
+                                     query_chunk=None, gather_dtype=None):
     """Core MSDA sampling + weighted reduction (quad-fused, custom VJP).
 
     Args:
@@ -701,15 +985,18 @@ def multi_scale_deformable_attention(value, spatial_shapes,
         query_chunk: forward scan inner-chunk size; queries are walked
             in QC-sized blocks so the gathered rows buffer stays
             VMEM-resident into the weighting (active when
-            Q > 2*query_chunk; the default 2816 puts the per-chunk
-            buffer at ~11 MB, the measured v5e sweet spot and an exact
-            8-chunk fit for the reference's 22323-query encoder).
+            Q > 2*query_chunk; the default 2816 — overridable via env
+            ``DEMF_TPU_MSDA_QC`` — puts the per-chunk buffer at ~11 MB,
+            the measured v5e sweet spot and an exact 8-chunk fit for
+            the reference's 22323-query encoder).
         gather_dtype: dtype of the packed quad planes (defaults to bf16
             for f32 inputs -- halves gather traffic; pass jnp.float32 for
             bit-exact oracle comparisons).
     Returns:
         (B, Q, heads * head_dim) in value.dtype.
     """
+    if query_chunk is None:
+        query_chunk = int(os.environ.get('DEMF_TPU_MSDA_QC', '2816'))
     if gather_dtype is None:
         # parity escape hatch: DEMF_TPU_MSDA_F32=1 keeps the sampling
         # planes fp32 (bit-exact vs the torch reference; used by the
@@ -728,8 +1015,8 @@ def multi_scale_deformable_attention(value, spatial_shapes,
     # straight out of the raw value instead.  Encoder-scale calls amortize
     # the repack over ~20x more samples.
     if q * nlv * npts * 8 < sum_hw:
-        return _small_q_msda(value, shapes_t, sampling_locations,
-                             attention_weights, gather_dtype)
+        fn = _make_small_q_msda(shapes_t, jnp.dtype(gather_dtype).name)
+        return fn(value, sampling_locations, attention_weights)
     fn = _make_msda(shapes_t, jnp.dtype(gather_dtype).name,
                     int(query_chunk))
     return fn(value, sampling_locations, attention_weights)

@@ -271,6 +271,80 @@ def test_msda_custom_vjp_matches_autodiff():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_msda_saved_residual_backward_matches_recompute():
+    """The chunked backward from saved residuals must equal the
+    rematerializing chunked backward (DEMF_TPU_MSDA_SAVE_RES_MAX
+    routes between them; distinct query_chunk values dodge the
+    _make_msda lru_cache)."""
+    import jax
+
+    from demf_tpu.ops import msda as msda_mod
+
+    rng = np.random.RandomState(13)
+    shapes = ((4, 6), (2, 3))
+    total = sum(h * w for h, w in shapes)
+    b, q, heads, hd, p = 2, 9, 2, 4, 3
+    value = jnp.asarray(rng.randn(b, total, heads, hd).astype(np.float32))
+    locs = jnp.asarray(
+        (rng.rand(b, q, heads, len(shapes), p, 2) * 0.8 + 0.1)
+        .astype(np.float32))
+    aw = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
+    aw = jnp.asarray(aw / aw.sum((-1, -2), keepdims=True))
+
+    def loss(qc):
+        def f(v, l, w):
+            return jnp.sum(jnp.sin(ops.multi_scale_deformable_attention(
+                v, shapes, l, w, query_chunk=qc,
+                gather_dtype=jnp.float32)))
+        return f
+
+    old = msda_mod._SAVE_RESIDUALS_MAX_SAMPLES
+    try:
+        msda_mod._SAVE_RESIDUALS_MAX_SAMPLES = 10 ** 9
+        g_saved = jax.grad(loss(3), argnums=(0, 1, 2))(value, locs, aw)
+        msda_mod._SAVE_RESIDUALS_MAX_SAMPLES = 0
+        g_rec = jax.grad(loss(4), argnums=(0, 1, 2))(value, locs, aw)
+    finally:
+        msda_mod._SAVE_RESIDUALS_MAX_SAMPLES = old
+    for a, b_ in zip(g_saved, g_rec):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_msda_banded_onehot_backward_matches_autodiff():
+    """A >2048-row level routes d_value through the banded one-hot; both
+    the in-band fast path (clustered locations) and the overflow
+    fallback (spread locations) must match plain autodiff."""
+    import jax
+
+    rng = np.random.RandomState(21)
+    shapes = ((48, 52), (2, 3))          # 2496 rows: banded; 6: one-hot
+    total = sum(h * w for h, w in shapes)
+    b, q, heads, hd, p = 1, 80, 2, 4, 2   # q*L*P*8 > sum_HW: quad path
+    value = jnp.asarray(rng.randn(b, total, heads, hd).astype(np.float32))
+    aw = rng.rand(b, q, heads, len(shapes), p).astype(np.float32)
+    aw = jnp.asarray(aw / aw.sum((-1, -2), keepdims=True))
+
+    spread = (rng.rand(b, q, heads, len(shapes), p, 2) * 0.8 + 0.1)
+    clustered = spread * 0.1 + 0.45      # tight cluster near the centre
+    for locs_np in (clustered, spread):
+        locs = jnp.asarray(locs_np.astype(np.float32))
+
+        def l_ref(v, l, w):
+            return jnp.sum(jnp.sin(_jnp_msda_autodiff(v, shapes, l, w)))
+
+        def l_new(v, l, w):
+            return jnp.sum(jnp.sin(ops.multi_scale_deformable_attention(
+                v, shapes, l, w, query_chunk=30,
+                gather_dtype=jnp.float32)))
+
+        g_ref = jax.grad(l_ref, argnums=(0, 1, 2))(value, locs, aw)
+        g_new = jax.grad(l_new, argnums=(0, 1, 2))(value, locs, aw)
+        for a, b_ in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_msda_small_q_path_matches_autodiff():
     """Decoder-scale routing (Q small vs plane) must stay exact too."""
     import jax
