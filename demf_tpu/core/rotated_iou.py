@@ -103,89 +103,125 @@ def bev_intersection_clip(box1, box2):
     return _poly_area(verts, count)
 
 
-def bev_intersection(box1, box2):
-    """BEV intersection area, sort-vertices formulation (differentiable,
-    scatter-free — the XLA-friendly analogue of the CUDA
-    ``diff_iou_rotated`` sort-vertices kernel).
+def _bev_corners_t(boxes):
+    """(P, 7) -> (x, y) each (4, P): CCW BEV corners, PAIR-MINOR.
+
+    Keeping the pair axis minor is the whole trick (same rule as the
+    MSDA geometry, ops/msda.py ``_geometry``): a vmapped per-pair
+    formulation puts the size-2 coordinate axis minor, which tiles
+    T(2,128) — 64x padding waste — and cost ~36 ms/step in the FCAF3D
+    loss (xplane trace, fusion.393/404 over f32[737280,2]).  All
+    intermediates here are (4, P) / (4, 4, P) / (24, P): full lanes.
+    """
+    x, y, dx, dy, yaw = (boxes[:, 0], boxes[:, 1], boxes[:, 3],
+                         boxes[:, 4], boxes[:, 6])
+    lx = jnp.asarray([-0.5, 0.5, 0.5, -0.5], boxes.dtype)[:, None] \
+        * dx[None]
+    ly = jnp.asarray([-0.5, -0.5, 0.5, 0.5], boxes.dtype)[:, None] \
+        * dy[None]
+    c, s = jnp.cos(yaw)[None], jnp.sin(yaw)[None]
+    return lx * c + ly * s + x[None], -lx * s + ly * c + y[None]
+
+
+def bev_intersection_batched(boxes1, boxes2):
+    """(P, 7) x (P, 7) -> (P,) BEV intersection areas (sort-vertices
+    formulation, differentiable, scatter-free — the XLA-friendly
+    analogue of the CUDA ``diff_iou_rotated`` sort-vertices kernel).
 
     Candidate vertices of the convex intersection polygon: corners of A
     inside B (4), corners of B inside A (4), and the 16 edge-pair
-    intersection points — 24 masked candidates.  They are ordered by
-    angle around the valid-centroid; invalid slots repeat the first
-    valid vertex (duplicates contribute zero to the shoelace sum).
-    """
-    pa = bev_corners(box1)                       # (4, 2)
-    pb = bev_corners(box2)
+    intersection points — 24 masked candidates, ordered by angle around
+    the valid-centroid with one vectorized 24-way ``lax.sort`` along
+    the leading axis; invalid slots repeat the first valid vertex
+    (duplicates contribute zero to the shoelace sum)."""
+    ax, ay = _bev_corners_t(boxes1)              # (4, P)
+    bx, by = _bev_corners_t(boxes2)
 
-    def inside(pts, poly):
+    def inside(px, py, qx, qy):
         # convex CCW polygon: point is inside iff left of every edge
-        a = poly
-        b = jnp.roll(poly, -1, axis=0)
-        e = b - a                                # (4, 2)
-        d = pts[:, None, :] - a[None, :, :]      # (P, 4, 2)
-        cr = e[None, :, 0] * d[..., 1] - e[None, :, 1] * d[..., 0]
-        return (cr >= -1e-9).all(-1)             # (P,)
+        ex = jnp.roll(qx, -1, 0) - qx            # (4, P)
+        ey = jnp.roll(qy, -1, 0) - qy
+        dx_ = px[:, None] - qx[None]             # (4pt, 4edge, P)
+        dy_ = py[:, None] - qy[None]
+        cr = ex[None] * dy_ - ey[None] * dx_
+        return (cr >= -1e-9).all(1)              # (4, P)
 
-    in_ab = inside(pa, pb)                       # (4,)
-    in_ba = inside(pb, pa)
+    in_ab = inside(ax, ay, bx, by)
+    in_ba = inside(bx, by, ax, ay)
 
     # all 16 edge-pair intersections
-    a1 = pa                                      # (4, 2) edge starts
-    a2 = jnp.roll(pa, -1, axis=0)
-    b1 = pb
-    b2 = jnp.roll(pb, -1, axis=0)
-    da = (a2 - a1)[:, None, :]                   # (4, 1, 2)
-    db = (b2 - b1)[None, :, :]                   # (1, 4, 2)
-    r = a1[:, None, :] - b1[None, :, :]          # (4, 4, 2)
-    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    dax = (jnp.roll(ax, -1, 0) - ax)[:, None]    # (4, 1, P)
+    day = (jnp.roll(ay, -1, 0) - ay)[:, None]
+    dbx = (jnp.roll(bx, -1, 0) - bx)[None]       # (1, 4, P)
+    dby = (jnp.roll(by, -1, 0) - by)[None]
+    rx = ax[:, None] - bx[None]                  # (4, 4, P)
+    ry = ay[:, None] - by[None]
+    denom = dax * dby - day * dbx
     safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    t = (db[..., 0] * r[..., 1] - db[..., 1] * r[..., 0]) / safe
-    u = (da[..., 0] * r[..., 1] - da[..., 1] * r[..., 0]) / safe
+    t = (dbx * ry - dby * rx) / safe
+    u = (dax * ry - day * rx) / safe
     hit = (jnp.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & \
         (u >= 0) & (u <= 1)
-    ipts = a1[:, None, :] + t[..., None] * da    # (4, 4, 2)
+    ix = ax[:, None] + t * dax                   # (4, 4, P)
+    iy = ay[:, None] + t * day
 
-    cand = jnp.concatenate([pa, pb, ipts.reshape(16, 2)])   # (24, 2)
-    valid = jnp.concatenate([in_ab, in_ba, hit.reshape(16)])
+    p = ax.shape[1]
+    cx = jnp.concatenate([ax, bx, ix.reshape(16, p)])       # (24, P)
+    cy = jnp.concatenate([ay, by, iy.reshape(16, p)])
+    valid = jnp.concatenate([in_ab, in_ba, hit.reshape(16, p)])
 
-    n = valid.sum()
-    w = valid.astype(cand.dtype)[:, None]
-    centroid = (cand * w).sum(0) / jnp.maximum(n, 1)
-    ang = jnp.arctan2(cand[:, 1] - centroid[1],
-                      cand[:, 0] - centroid[0])
+    n = valid.sum(0)                             # (P,)
+    w = valid.astype(cx.dtype)
+    nf = jnp.maximum(n, 1).astype(cx.dtype)
+    cenx = (cx * w).sum(0) / nf
+    ceny = (cy * w).sum(0) / nf
+    ang = jnp.arctan2(cy - ceny[None], cx - cenx[None])
     ang = jnp.where(valid, ang, jnp.inf)
-    order = jnp.argsort(ang)
-    pts = cand[order]                            # valid first, by angle
-    first = pts[0]
-    idx = jnp.arange(24)
-    pts = jnp.where((idx < n)[:, None], pts, first[None])
-    nxt = jnp.roll(pts, -1, axis=0)
-    area = 0.5 * jnp.abs(jnp.sum(
-        pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]))
+    # one vectorized 24-way sort per pair (axis 0), carrying x and y
+    _, xs, ys = jax.lax.sort((ang, cx, cy), dimension=0, num_keys=1)
+    keep = jnp.arange(24)[:, None] < n[None]
+    xs = jnp.where(keep, xs, xs[0][None])
+    ys = jnp.where(keep, ys, ys[0][None])
+    x2 = jnp.roll(xs, -1, 0)
+    y2 = jnp.roll(ys, -1, 0)
+    area = 0.5 * jnp.abs(jnp.sum(xs * y2 - x2 * ys, axis=0))
     return jnp.where(n >= 3, area, 0.0)
+
+
+def bev_intersection(box1, box2):
+    """Single-pair BEV intersection area ((7,), (7,) -> ())."""
+    return bev_intersection_batched(box1[None], box2[None])[0]
+
+
+def _iou3d_batched(boxes1, boxes2, eps=1e-7):
+    """(P, 7) x (P, 7) -> (P,) rotated 3D IoU, differentiable."""
+    inter2d = bev_intersection_batched(boxes1, boxes2)
+    zmin = jnp.maximum(boxes1[:, 2], boxes2[:, 2])
+    zmax = jnp.minimum(boxes1[:, 2] + boxes1[:, 5],
+                       boxes2[:, 2] + boxes2[:, 5])
+    hz = jnp.clip(zmax - zmin, 0.0, None)
+    inter = inter2d * hz
+    vol1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    vol2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    return inter / jnp.clip(vol1 + vol2 - inter, eps, None)
 
 
 def iou3d_pair(box1, box2, eps=1e-7):
     """Single-pair rotated 3D IoU, differentiable. (7,), (7,) -> ()."""
-    inter2d = bev_intersection(box1, box2)
-    zmin = jnp.maximum(box1[2], box2[2])
-    zmax = jnp.minimum(box1[2] + box1[5], box2[2] + box2[5])
-    hz = jnp.clip(zmax - zmin, 0.0, None)
-    inter = inter2d * hz
-    vol1 = box1[3] * box1[4] * box1[5]
-    vol2 = box2[3] * box2[4] * box2[5]
-    return inter / jnp.clip(vol1 + vol2 - inter, eps, None)
+    return _iou3d_batched(box1[None], box2[None], eps)[0]
 
 
 def iou3d_aligned(boxes1, boxes2):
     """Element-wise rotated IoU of two (N, 7) box sets -> (N,)."""
-    return jax.vmap(iou3d_pair)(boxes1, boxes2)
+    return _iou3d_batched(boxes1, boxes2)
 
 
 def iou3d_matrix(boxes1, boxes2):
     """(N, 7) x (M, 7) -> (N, M) rotated IoU matrix (device)."""
-    return jax.vmap(lambda a: jax.vmap(lambda b: iou3d_pair(a, b))(
-        boxes2))(boxes1)
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    a = jnp.broadcast_to(boxes1[:, None], (n, m, 7)).reshape(n * m, 7)
+    b = jnp.broadcast_to(boxes2[None], (n, m, 7)).reshape(n * m, 7)
+    return _iou3d_batched(a, b).reshape(n, m)
 
 
 def rotated_nms_3d(boxes, scores, classes, thresh, valid=None):
