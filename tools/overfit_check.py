@@ -195,6 +195,33 @@ def pretrain_2d_branch(model, variables, ds, batch_size, max_gt, steps,
     return {'params': state.params, 'batch_stats': state.batch_stats}
 
 
+class _MemoDataset:
+    """Materialize dataset items on first access (host-side memoization).
+
+    The synthetic generator re-renders each scene + re-runs the host
+    pipeline on every epoch visit; at 300 scenes x 16/batch on this
+    1-core host that's ~9 s/step of pure host work against a ~0.25 s
+    device step.  The harness pipelines carry no random augmentation
+    (flip_ratio=0, no GlobalRotScaleTrans) besides PointSample, so a
+    fixed per-scene sample is an equivalent training stream for the
+    convergence/ablation evidence this tool produces."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._items = {}
+
+    def __len__(self):
+        return len(self._inner)
+
+    def __getitem__(self, i):
+        if i not in self._items:
+            self._items[i] = self._inner[i]
+        return self._items[i]
+
+    def __getattr__(self, k):
+        return getattr(self._inner, k)
+
+
 def main(steps=200, batch_size=16, model_kind='votenet',
          ball_query=None, steps_2d=300, scenes=32, gen_eval=False,
          eval_every=0):
@@ -225,11 +252,12 @@ def main(steps=200, batch_size=16, model_kind='votenet',
     # boxes — the regime VERDICT r3 item 9 asks for, where the fusion
     # ablation has real headroom instead of being masked by train-set
     # memorization.
+    ds = _MemoDataset(ds)
     eval_ds = ds
     if gen_eval:
-        eval_ds = build_dataset(dict(
+        eval_ds = _MemoDataset(build_dataset(dict(
             type='SyntheticSUNRGBD', num_scenes=32, num_raw_points=24000,
-            max_boxes=6, pipeline=pipeline, seed=13, **ds_kwargs))
+            max_boxes=6, pipeline=pipeline, seed=13, **ds_kwargs)))
     loader = build_dataloader(ds, samples_per_gpu=batch_size, shuffle=True,
                               max_gt=max_gt)
 
@@ -333,16 +361,53 @@ def main(steps=200, batch_size=16, model_kind='votenet',
     map_before = eval_map(state)
     print(f'mAP@0.25 before: {map_before:.4f}', flush=True)
 
+    # Device-resident scene bank: on the tunnelled-TPU sandbox the
+    # per-step host->device transfer of 16 scenes' cached image features
+    # (~100 MB) costs ~10 s; staging the whole dataset in HBM once
+    # (~1-2 GB at bf16 features) and gathering each batch by on-device
+    # scene indices makes the step device-bound again.
+    bank = None
+    if uses_image and model_kind in ('demf', 'demf_fcaf3d'):
+        from demf_tpu.engine.feature_cache import attach_cached_features
+        n_sc = len(ds)
+        print('staging scene bank on device ...', flush=True)
+        bank = collate_fixed([ds[i] for i in range(n_sc)], max_gt=max_gt)
+        bank = attach_cached_features(bank, cache, list(range(n_sc)))
+        bank['img_features'] = tuple(
+            f.astype(jnp.bfloat16) for f in bank['img_features'])
+        bank.pop('img', None)
+        bank = jax.device_put(bank)
+
+    def bank_batch(ids):
+        idx = jnp.asarray(ids)
+        return jax.tree_util.tree_map(
+            lambda a: a[idx] if (hasattr(a, 'ndim') and a.ndim > 0
+                                 and a.shape[0] == n_sc) else a, bank)
+
     rng = jax.random.PRNGKey(0)
     it = 0
     t0 = time.perf_counter()
     losses = []
     curve = []
+    perm_rng = np.random.RandomState(1)
+
+    def batches():
+        if bank is None:
+            while True:
+                for b_ in loader:
+                    yield shard_batch(b_, mesh)
+        else:
+            while True:
+                order = perm_rng.permutation(n_sc)
+                for st in range(0, n_sc - batch_size + 1, batch_size):
+                    yield bank_batch(order[st:st + batch_size])
+
+    bit = batches()
     while it < steps:
-        for batch in loader:
+        for batch in bit:
             if it >= steps:
                 break
-            sbatch = shard_batch(batch, mesh)
+            sbatch = batch
             state, metrics = train_step(state, sbatch,
                                         jax.random.fold_in(rng, it))
             it += 1
