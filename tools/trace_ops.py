@@ -19,38 +19,72 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def dump_top_ops(logdir, top=40):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def dump_top_ops(logdir, top=35):
+    """Aggregate device-op times from the Chrome trace.
+
+    Parses ``vm.trace.json.gz`` directly (the tensorboard_plugin_profile
+    protobuf path needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python on
+    this image; the Chrome trace carries the same device timeline).
+    Prints (a) exclusive self-time per op CLASS (nesting-aware — scan
+    ``while`` bodies attribute to their inner ops) and (b) the top
+    individual ops with HLO shapes + source lines where available.
+    """
+    import collections
+    import re
     paths = glob.glob(os.path.join(
-        logdir, 'plugins/profile/*/*.xplane.pb'))
+        logdir, 'plugins/profile/*/*.trace.json.gz'))
     if not paths:
-        print('no xplane.pb captured (device tracing unsupported?)',
+        print('no trace captured (device tracing unsupported?)',
               flush=True)
         return False
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], 'framework_op_stats', {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    try:
-        rows = json.loads(data)
-    except Exception:
-        print(data[:2000], flush=True)
-        return True
-    # gviz table: rows[1+] after header? handle the two common formats
-    if isinstance(rows, dict) and 'rows' in rows:
-        cols = [c['label'] for c in rows['cols']]
-        table = [[c.get('v') for c in r['c']] for r in rows['rows']]
-        try:
-            ti = cols.index('Total self-time (us)')
-        except ValueError:
-            ti = None
-        print('\t'.join(cols[:6]), flush=True)
-        if ti is not None:
-            table.sort(key=lambda r: -(r[ti] or 0))
-        for r in table[:top]:
-            print('\t'.join(str(v) for v in r[:6]), flush=True)
-    else:
-        print(str(rows)[:3000], flush=True)
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data['traceEvents']
+    pids, tids = {}, {}
+    for e in ev:
+        if e.get('ph') == 'M' and e.get('name') == 'process_name':
+            pids[e['pid']] = e['args'].get('name', '')
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name':
+            tids[(e['pid'], e['tid'])] = e['args'].get('name', '')
+    evs = [e for e in ev if e.get('ph') == 'X' and 'dur' in e
+           and pids.get(e['pid'], '').startswith('/device')
+           and tids.get((e['pid'], e['tid']), '') == 'XLA Ops']
+    evs.sort(key=lambda e: (e['ts'], -e['dur']))
+    stack, child = [], collections.Counter()
+    for e in evs:
+        ts, dur = e['ts'], e['dur']
+        while stack and ts >= stack[-1][0] + stack[-1][1] - 1e-9:
+            stack.pop()
+        if stack:
+            child[id(stack[-1][2])] += dur
+        stack.append((ts, dur, e))
+    selft = collections.Counter()
+    cnt = collections.Counter()
+    for e in evs:
+        base = re.sub(r'[.\d]+$', '', e['name'])
+        selft[base] += e['dur'] - child.get(id(e), 0)
+        cnt[base] += 1
+    total = sum(selft.values())
+    print(f'device exclusive total: {total / 1000:.1f} ms', flush=True)
+    print('--- by op class (exclusive self time):', flush=True)
+    for n, t in selft.most_common(20):
+        if t > total * 0.002:
+            print(f'{t / 1000:9.2f} ms  x{cnt[n]:<7} {n}', flush=True)
+    tot_i = collections.Counter()
+    cnt_i = collections.Counter()
+    meta = {}
+    for e in evs:
+        tot_i[e['name']] += e['dur']
+        cnt_i[e['name']] += 1
+        if e['name'] not in meta:
+            a = e.get('args', {})
+            meta[e['name']] = (a.get('long_name', '')[:90],
+                               a.get('source', ''))
+    print('--- top individual ops:', flush=True)
+    for n, t in tot_i.most_common(top):
+        ln, src = meta[n]
+        print(f'{t / 1000:8.2f} ms x{cnt_i[n]:<6} {n}  {ln}'
+              + (f'  [{src}]' if src else ''), flush=True)
     return True
 
 
