@@ -202,14 +202,45 @@ class DeMFFcaf3DHead(FCAF3DHead):
                 'fusion_stages' in results_or_outs:
             head_outs = results_or_outs['head_outs']
             stages = results_or_outs['fusion_stages']
-            # ensemble: base levels + fusion stages as extra candidate
-            # pools (DeMFVoteHead ensemble-NMS pattern)
+            # test_cfg['fusion_ensemble'] — the config-driven analogue
+            # of DeMFVoteHead's ensemble_layers:
+            #   'selected_base+fusion' (default): the SELECTED base
+            #       candidates (stage 0 = the very proposals the fusion
+            #       stages refine) + fusion stages — equal-size pools,
+            #       the DeMF-VoteNet ensemble pattern.  Decoding ALL
+            #       base levels alongside the 256 refined candidates
+            #       floods the NMS pool 15:1 with unrefined predictions
+            #       and measured BELOW the fusion stage alone.
+            #   'fusion_only': refined stages only (highest on the
+            #       fresh-scene gen-eval ablations).
+            #   'all': full base levels + fusion pools.
+            mode = str((self.test_cfg or {}).get(
+                'fusion_ensemble', 'selected_base+fusion'))
+            sel = results_or_outs.get('sel_idx')
+            if mode == 'fusion_only':
+                sel = None
+                pools = []
+            elif sel is not None and mode != 'all':
+                cat = {k: jnp.concatenate([o[k] for o in head_outs], 1)
+                       for k in ('centerness', 'bbox_pred', 'cls_scores',
+                                 'points', 'valid')}
+                take = lambda x: jnp.take_along_axis(
+                    x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), 1)
+                base_sel = dict(
+                    centerness=take(cat['centerness']),
+                    bbox_pred=take(cat['bbox_pred']),
+                    cls_scores=take(cat['cls_scores']),
+                    points=take(cat['points']),
+                    valid=jnp.take_along_axis(cat['valid'], sel, 1))
+                pools = [base_sel]
+            else:
+                pools = list(head_outs)
             extra = [dict(centerness=s['centerness'],
                           bbox_pred=s['bbox_pred'],
                           cls_scores=s['cls_scores'],
                           points=s['points'], valid=s['valid'])
                      for s in stages]
-            return FCAF3DHead.get_bboxes(self, list(head_outs) + extra)
+            return FCAF3DHead.get_bboxes(self, pools + extra)
         if isinstance(results_or_outs, dict):
             return FCAF3DHead.get_bboxes(self,
                                          results_or_outs['head_outs'])

@@ -226,6 +226,7 @@ def main(steps=200, batch_size=16, model_kind='votenet',
          ball_query=None, steps_2d=300, scenes=32, gen_eval=False,
          eval_every=0):
     import jax
+    import jax.numpy as jnp
     import demf_tpu.models  # noqa: F401
     import demf_tpu.data  # noqa: F401
     from demf_tpu.data import build_dataset, build_dataloader
@@ -345,7 +346,23 @@ def main(steps=200, batch_size=16, model_kind='votenet',
         def drop_fusion(results):
             return {k: v for k, v in results.items()
                     if k != 'fusion_stages'}
+
+        def fusion_only(results):
+            # decode ONLY the fusion-stage candidate pool (diagnoses
+            # whether the fusion head itself learned image-borne
+            # classification independent of the base-level ensemble)
+            out = dict(results)
+            stages = out.pop('fusion_stages')
+            out['head_outs'] = [dict(
+                centerness=s['centerness'], bbox_pred=s['bbox_pred'],
+                cls_scores=s['cls_scores'], points=s['points'],
+                valid=s['valid'],
+                features=jnp.zeros(s['points'].shape[:2] + (1,),
+                                   s['centerness'].dtype))
+                for s in stages]
+            return out
         ablations['base_levels_only'] = make_eval(model, drop_fusion)
+        ablations['fusion_only'] = make_eval(model, fusion_only)
     elif model_kind == 'imvotenet':
         # decode a single tower through the joint head's get_bboxes (the
         # tower heads share coder/test_cfg; only input features differ)
