@@ -246,32 +246,14 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
         result['mfu'] = mfus.get('demf_cached')
 
         if not small:
-            # ---- uncached: frozen image branch recomputed in-step ------
-            _note('extra: demf_uncached')
-            try:
-                ubatch = shard_batch(batch, mesh)
-                uflops = _step_flops(step, state, ubatch, rng)
-                rate, state, ustats = _measure(
-                    step, state, ubatch, rng, max(3, iters // 3), 1,
-                    batch_size)
-                extras['demf_uncached'] = round(rate, 3)
-                # apples-to-apples multiplier: same per-step work as the
-                # torch reference (no feature cache) / estimated A100 rate
-                result['vs_baseline_same_convention'] = round(
-                    rate / BASELINE_SCENES_PER_SEC_PER_CHIP, 3)
-                spreads['demf_uncached'] = ustats['spread']
-                mfus['demf_uncached'] = _mfu(uflops, rate, batch_size)
-                del ubatch
-            except Exception as e:
-                extras['demf_uncached_error'] = \
-                    f'{type(e).__name__}: {e}'[:300]
-            gc.collect()
-
             # ---- on-device preprocessing path (north-star) -------------
             # host does file IO only; point aug + subsample fuse into the
-            # jitted step (data/device_pipeline.py).  Runs while the demf
-            # model/state are still alive (it reuses them), BEFORE the
-            # standalone sections.
+            # jitted step (data/device_pipeline.py).  Measured FIRST
+            # after the headline with the SAME iters/warmup: the fused
+            # step is within 1% of the cached step in a same-process A/B
+            # (tools/profile_devpipe.py), and measuring it late with a
+            # short warmup recorded a phantom 11-15% gap (BENCH r4/r5
+            # first capture).
             _note('extra: demf_devpipe')
             try:
                 import numpy as np
@@ -296,15 +278,35 @@ def main(batch_size=16, num_points=20000, hw=(800, 1344), iters=10,
                 pstep = make_train_step(model, tx,
                                         compute_dtype=compute_dtype,
                                         preprocess=device_fn)
-                prate, _, pstats = _measure(pstep, state, rawb, rng,
-                                            max(3, iters // 2), 1,
-                                            batch_size)
-                state = None  # donated into pstep
+                prate, state, pstats = _measure(pstep, state, rawb, rng,
+                                                iters, warmup,
+                                                batch_size)
                 extras['demf_devpipe'] = round(prate, 3)
                 spreads['demf_devpipe'] = pstats['spread']
                 del rawb, pstep
             except Exception as e:
                 extras['demf_devpipe_error'] = \
+                    f'{type(e).__name__}: {e}'[:300]
+            gc.collect()
+
+            # ---- uncached: frozen image branch recomputed in-step ------
+            _note('extra: demf_uncached')
+            try:
+                ubatch = shard_batch(batch, mesh)
+                uflops = _step_flops(step, state, ubatch, rng)
+                rate, state, ustats = _measure(
+                    step, state, ubatch, rng, max(3, iters // 3), 1,
+                    batch_size)
+                extras['demf_uncached'] = round(rate, 3)
+                # apples-to-apples multiplier: same per-step work as the
+                # torch reference (no feature cache) / estimated A100 rate
+                result['vs_baseline_same_convention'] = round(
+                    rate / BASELINE_SCENES_PER_SEC_PER_CHIP, 3)
+                spreads['demf_uncached'] = ustats['spread']
+                mfus['demf_uncached'] = _mfu(uflops, rate, batch_size)
+                del ubatch
+            except Exception as e:
+                extras['demf_uncached_error'] = \
                     f'{type(e).__name__}: {e}'[:300]
 
             # ---- free ALL demf device state before standalone sections -
